@@ -1,0 +1,66 @@
+"""FASTQ/FASTA read parsing and batching (the kseq.h equivalent).
+
+Host-side streaming: yields (name, seq_codes, qual) and packs reads into
+fixed-size batches for the device pipeline.  A C++ parser is the planned
+native path for multi-GB/s ingest; this numpy version is the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from bwamem_tpu.io.fasta import encode_seq
+
+
+@dataclasses.dataclass
+class Read:
+    name: str
+    seq: np.ndarray          # 0..4 codes
+    qual: str | None = None
+    comment: str | None = None
+
+
+def parse_fastq(text: str) -> Iterator[Read]:
+    lines = text.splitlines()
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i].strip()
+        if not line:
+            i += 1
+            continue
+        if line.startswith("@"):
+            header = line[1:]
+            parts = header.split(None, 1)
+            name = parts[0]
+            comment = parts[1] if len(parts) > 1 else None
+            seq = lines[i + 1].strip()
+            # lines[i+2] is '+'
+            qual = lines[i + 3].strip() if i + 3 < n else None
+            yield Read(name=name, seq=encode_seq(seq), qual=qual,
+                       comment=comment)
+            i += 4
+        elif line.startswith(">"):
+            header = line[1:]
+            name = header.split()[0]
+            i += 1
+            seq_parts = []
+            while i < n and not lines[i].startswith((">", "@")):
+                seq_parts.append(lines[i].strip())
+                i += 1
+            yield Read(name=name, seq=encode_seq("".join(seq_parts)))
+        else:
+            raise ValueError(f"bad record at line {i}: {line[:40]!r}")
+
+
+def read_fastq(path: str) -> list[Read]:
+    with open(path) as f:
+        return list(parse_fastq(f.read()))
+
+
+def batches(reads: list[Read], batch_size: int) -> Iterator[list[Read]]:
+    for i in range(0, len(reads), batch_size):
+        yield reads[i:i + batch_size]

@@ -1,15 +1,23 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Multi-chip TPU hardware is not available in CI; sharding logic is validated
-on virtual CPU devices (the driver separately dry-runs the multi-chip path
-via __graft_entry__.dryrun_multichip).
+This image injects an `axon` TPU platform via sitecustomize (PYTHONPATH),
+which imports jax at interpreter startup and routes compiles through a
+slow remote service — so env-var platform selection is too late.  Setting
+the platform through jax.config before any backend is initialized works
+and keeps the whole suite on fast local CPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass

@@ -26,10 +26,10 @@ def make_params(o_del=6, e_del=1, o_ins=6, e_ins=1, zdrop=0):
     )
 
 
-def random_batch(rng, B, qmax=QMAX - 4, tmax=TMAX - 8):
+def random_batch(rng, B, qmax=QMAX - 4, tmax=TMAX - 8, qpad=None, tpad=None):
     """Batch of related query/target pairs with mutations and indels."""
-    query = np.zeros((B, QMAX), np.int32)
-    target = np.zeros((B, TMAX), np.int32)
+    query = np.zeros((B, qpad or QMAX), np.int32)
+    target = np.zeros((B, tpad or TMAX), np.int32)
     qlen = np.zeros(B, np.int32)
     tlen = np.zeros(B, np.int32)
     h0 = np.zeros(B, np.int32)
