@@ -68,15 +68,20 @@ def _max_gap_bound(opt: MemOptions, qlen: int, o: int, e: int,
     return max(int((qlen * opt.a + end_bonus - o) / e + 1.0), 1)
 
 
-def default_extend_fn(query, target, w_attempt, h0, max_ins, max_del, opt):
-    """One ksw_extend_core pass (the injectable extension backend)."""
+def default_extend_fn(key, query, target, w_attempt, h0, max_ins, max_del,
+                      opt):
+    """One ksw_extend_core pass (the injectable extension backend).
+
+    `key` = (chain_index, seed_index, side) identifies the task so that
+    batched backends (pipeline/driver.py) can serve precomputed device
+    results; the scalar backend ignores it."""
     aw = min(w_attempt, max_ins, max_del)
     r = ksw_extend_core(query, target, opt.mat, opt.o_del, opt.e_del,
                         opt.o_ins, opt.e_ins, w=aw, h0=h0, zdrop=opt.zdrop)
     return r
 
 
-def _extend_with_doubling(opt, query, target, h0, pen_clip, prev_score,
+def _extend_with_doubling(opt, key, query, target, h0, pen_clip, prev_score,
                           extend_fn):
     """bwa's MAX_BAND_TRY loop (the FPGA runs this inside sw_extend,
     sw_extend.v:1765/1963).  Returns (result, attempted_w)."""
@@ -87,7 +92,7 @@ def _extend_with_doubling(opt, query, target, h0, pen_clip, prev_score,
     res, aw = None, opt.w
     for k in range(2):  # MAX_BAND_TRY
         aw = opt.w << k
-        res = extend_fn(query, target, aw, h0, max_ins, max_del, opt)
+        res = extend_fn(key, query, target, aw, h0, max_ins, max_del, opt)
         if res.score == prev or res.max_off < (aw >> 1) + (aw >> 2):
             break
         prev = res.score
@@ -96,7 +101,7 @@ def _extend_with_doubling(opt, query, target, h0, pen_clip, prev_score,
 
 def chain2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
               chain: Chain, regions: list[Region],
-              extend_fn=default_extend_fn) -> None:
+              extend_fn=default_extend_fn, chain_index: int = 0) -> None:
     """Extend every seed of one chain into alignment regions
     (mem_chain2aln), appending to `regions` (shared across the read's
     chains — the contained-seed test sees earlier chains' regions)."""
@@ -154,8 +159,8 @@ def chain2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
             qs = read[:s.qbeg][::-1]
             rs = rseq[:s.rbeg - rmax0][::-1]
             res, aw[0] = _extend_with_doubling(
-                opt, qs, rs, h0=s.len * opt.a, pen_clip=opt.pen_clip5,
-                prev_score=-1, extend_fn=extend_fn)
+                opt, (chain_index, k, "L"), qs, rs, h0=s.len * opt.a,
+                pen_clip=opt.pen_clip5, prev_score=-1, extend_fn=extend_fn)
             a.score = res.score
             if res.gscore <= 0 or res.gscore <= a.score - opt.pen_clip5:
                 a.qb, a.rb = s.qbeg - res.qle, s.rbeg - res.tle
@@ -172,8 +177,9 @@ def chain2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
             qe_off = s.qend
             re_off = s.rend - rmax0
             res, aw[1] = _extend_with_doubling(
-                opt, read[qe_off:], rseq[re_off:], h0=sc0,
-                pen_clip=opt.pen_clip3, prev_score=sc0, extend_fn=extend_fn)
+                opt, (chain_index, k, "R"), read[qe_off:], rseq[re_off:],
+                h0=sc0, pen_clip=opt.pen_clip3, prev_score=sc0,
+                extend_fn=extend_fn)
             a.score = res.score
             if res.gscore <= 0 or res.gscore <= a.score - opt.pen_clip3:
                 a.qe, a.re = qe_off + res.qle, s.rend + res.tle
@@ -412,8 +418,9 @@ def align_read(opt: MemOptions, ref: Reference, fm, name: str,
     if chains is None:
         chains = chain_read(fm, read, opt)
     regions: list[Region] = []
-    for c in chains:
-        chain2aln(opt, ref, read, c, regions, extend_fn=extend_fn)
+    for ci, c in enumerate(chains):
+        chain2aln(opt, ref, read, c, regions, extend_fn=extend_fn,
+                  chain_index=ci)
     regions = sort_and_dedup(opt, regions)
     regions = mark_primary(opt, regions)
 

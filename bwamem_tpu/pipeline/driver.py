@@ -1,0 +1,175 @@
+"""Batched device extension driver — the batch_manager of the TPU build.
+
+The reference streams fixed-capacity task batches into 4 PE arrays
+behind double buffers (batch_manager.v:397-562; SURVEY.md §2.1).  Here,
+the host walks every read's chains, PLANS all extension tasks, runs two
+device phases (all left extensions, then all right extensions — a seed's
+right h0 is its own left score, so there is no cross-seed dependency),
+and then replays bwa's sequential mem_chain2aln control flow against the
+precomputed result table.  Extension results are bit-identical to the
+scalar path (the kernels are fuzz-verified twins), so align_batch
+produces the same SAM as align.align_read with the scalar extender.
+
+The contained-seed skip (mem_chain2aln's "has this been extended
+before" test) depends on earlier seeds' extension results, so the
+device path speculatively extends EVERY seed — wasted lanes are cheap,
+serialized host<->device round trips are not.  Band doubling runs as
+pass k=0 for all tasks plus pass k=1 consumed only where pass 0 did not
+converge (the FPGA runs the same retry internally, sw_extend.v:1765).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from bwamem_tpu.config import MemOptions
+from bwamem_tpu.io.fasta import Reference
+from bwamem_tpu.io.sam import SamRecord
+from bwamem_tpu.pipeline import align as A
+from bwamem_tpu.pipeline.chain import chain_read
+from bwamem_tpu.pipeline.tasks import round_up
+from bwamem_tpu.ops.extend_ref import ExtendResult
+
+
+def _plan_read(opt: MemOptions, ref: Reference, read: np.ndarray, chains):
+    """Enumerate (key, query, target, h0|None, pen_clip) for every
+    extension side, mirroring chain2aln's geometry exactly."""
+    plans = []
+    l_query = len(read)
+    for ci, c in enumerate(chains):
+        seeds = c.seeds
+        rmax0, rmax1 = ref.l_pac << 1, 0
+        for t in seeds:
+            b = t.rbeg - (t.qbeg + A.cal_max_gap(opt, t.qbeg))
+            e = (t.rbeg + t.len + (l_query - t.qbeg - t.len)
+                 + A.cal_max_gap(opt, l_query - t.qbeg - t.len))
+            rmax0 = min(rmax0, b)
+            rmax1 = max(rmax1, e)
+        rmax0 = max(rmax0, 0)
+        rmax1 = min(rmax1, ref.l_pac << 1)
+        if rmax0 < ref.l_pac < rmax1:
+            if seeds[0].rbeg < ref.l_pac:
+                rmax1 = ref.l_pac
+            else:
+                rmax0 = ref.l_pac
+        rseq = ref.get_seq(rmax0, rmax1)
+        for si, s in enumerate(seeds):
+            if s.qbeg > 0:
+                plans.append(((ci, si, "L"),
+                              read[:s.qbeg][::-1],
+                              rseq[:s.rbeg - rmax0][::-1],
+                              s.len * opt.a, opt.pen_clip5))
+            if s.qbeg + s.len != l_query:
+                plans.append(((ci, si, "R"),
+                              read[s.qbeg + s.len:],
+                              rseq[s.rbeg + s.len - rmax0:],
+                              None, opt.pen_clip3))
+    return plans
+
+
+def _device_extend(opt: MemOptions, jobs, extend_batch_fn):
+    """Batch one list of (key, query, target, h0, pen_clip) through the
+    device kernel at both attempted widths.
+    Returns {key: {attempted_w: ExtendResult}}."""
+    import jax.numpy as jnp
+
+    if not jobs:
+        return {}
+    B = len(jobs)
+    qmax = round_up(max(max((len(j[1]) for j in jobs), default=1), 1), 128)
+    tmax = round_up(max(max((len(j[2]) for j in jobs), default=1), 1), 128)
+    Bp = round_up(B, 8)
+    query = np.zeros((Bp, qmax), np.int32)
+    target = np.zeros((Bp, tmax), np.int32)
+    qlen = np.zeros(Bp, np.int32)
+    tlen = np.zeros(Bp, np.int32)
+    h0 = np.zeros(Bp, np.int32)
+    max_ins = np.ones(Bp, np.int32)
+    max_del = np.ones(Bp, np.int32)
+    for i, (key, q, t, h, pen) in enumerate(jobs):
+        query[i, :len(q)] = q
+        target[i, :len(t)] = t
+        qlen[i], tlen[i], h0[i] = len(q), len(t), h
+        max_ins[i] = A._max_gap_bound(opt, len(q), opt.o_ins, opt.e_ins, pen)
+        max_del[i] = A._max_gap_bound(opt, len(q), opt.o_del, opt.e_del, pen)
+    out = {}
+    for k in (0, 1):
+        aw = np.minimum(np.minimum(opt.w << k, max_ins),
+                        max_del).astype(np.int32)
+        res = extend_batch_fn(
+            jnp.asarray(query), jnp.asarray(qlen), jnp.asarray(target),
+            jnp.asarray(tlen), jnp.asarray(aw), jnp.asarray(h0))
+        arr = {f: np.asarray(getattr(res, f)) for f in
+               ("score", "qle", "tle", "gtle", "gscore", "max_off")}
+        for i, (key, *_rest) in enumerate(jobs):
+            out.setdefault(key, {})[opt.w << k] = ExtendResult(
+                score=int(arr["score"][i]), qle=int(arr["qle"][i]),
+                tle=int(arr["tle"][i]), gtle=int(arr["gtle"][i]),
+                gscore=int(arr["gscore"][i]), max_off=int(arr["max_off"][i]),
+                w_used=int(aw[i]))
+    return out
+
+
+def _resolve(opt: MemOptions, per_w, prev_score):
+    """Replay the band-doubling convergence on precomputed pass results."""
+    prev = prev_score
+    res = None
+    for k in (0, 1):
+        aw = opt.w << k
+        res = per_w[aw]
+        if res.score == prev or res.max_off < (aw >> 1) + (aw >> 2):
+            break
+        prev = res.score
+    return res
+
+
+def align_batch(opt: MemOptions, ref: Reference, fm, reads,
+                extend_batch_fn: Callable, names=None, quals=None,
+                ) -> list[list[SamRecord]]:
+    """Align a batch of reads with device-batched extension.
+
+    extend_batch_fn(query, qlen, target, tlen, aw, h0) -> ExtendOut —
+    typically a jitted partial of ops.extend_pallas.extend_batch_core
+    (or extend_jax.extend_batch_core as the interpreter twin).
+    """
+    names = names or [f"read{i}" for i in range(len(reads))]
+    quals = quals or [None] * len(reads)
+    all_chains = [chain_read(fm, r, opt) for r in reads]
+    all_plans = [_plan_read(opt, ref, r, ch)
+                 for r, ch in zip(reads, all_chains)]
+
+    # phase L
+    left_jobs = [((ri,) + key, q, t, h, pen)
+                 for ri, plans in enumerate(all_plans)
+                 for key, q, t, h, pen in plans if key[2] == "L"]
+    table = _device_extend(opt, left_jobs, extend_batch_fn)
+
+    # phase R: h0 chained from the resolved left score of the same seed
+    right_jobs = []
+    for ri, plans in enumerate(all_plans):
+        for key, q, t, h, pen in plans:
+            if key[2] != "R":
+                continue
+            ci, si, _ = key
+            s = all_chains[ri][ci].seeds[si]
+            if s.qbeg > 0:
+                sc0 = _resolve(opt, table[(ri, ci, si, "L")], -1).score
+            else:
+                sc0 = s.len * opt.a
+            right_jobs.append(((ri,) + key, q, t, sc0, pen))
+    table.update(_device_extend(opt, right_jobs, extend_batch_fn))
+
+    # replay bwa's sequential control flow against the result table
+    out = []
+    for ri, (read, chains) in enumerate(zip(reads, all_chains)):
+        local = {k[1:]: v for k, v in table.items() if k[0] == ri}
+
+        def extend_fn(key, query, target, w_attempt, h0, max_ins, max_del,
+                      o, _local=local):
+            return _local[key][w_attempt]
+
+        out.append(A.align_read(opt, ref, fm, names[ri], read, quals[ri],
+                                extend_fn=extend_fn, chains=chains))
+    return out
