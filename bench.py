@@ -49,20 +49,20 @@ def main():
     target[:, :QLEN] = query[:, :QLEN]
     muts = rng.integers(0, QLEN, (B, 6))
     target[np.arange(B)[:, None], muts] = rng.integers(0, 4, (B, 6))
-    args = (
-        jnp.asarray(query), jnp.full((B,), QLEN, jnp.int32),
-        jnp.asarray(target), jnp.full((B,), TLEN, jnp.int32),
-        jnp.full((B,), W, jnp.int32), jnp.full((B,), 19, jnp.int32),
-    )
+    scal, tmax = extend_pallas.pack_scal(
+        np.full(B, QLEN, np.int32), np.full(B, TLEN, np.int32),
+        np.full(B, W, np.int32), np.full(B, 19, np.int32))
+    args = (jnp.asarray(query), jnp.asarray(target), jnp.asarray(scal),
+            jnp.asarray(tmax))
 
-    fn = jax.jit(lambda *a: extend_pallas.extend_batch_core(*a, params))
+    fn = jax.jit(lambda *a: extend_pallas.extend_batch_raw(*a, params))
     out = fn(*args)
-    out.score.block_until_ready()  # compile
+    out.block_until_ready()  # compile
     n_iter = 10
     t0 = time.time()
     for _ in range(n_iter):
         out = fn(*args)
-    out.score.block_until_ready()
+    out.block_until_ready()
     dt = (time.time() - t0) / n_iter
 
     band = min(QLEN, 2 * W + 1)

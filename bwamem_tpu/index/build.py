@@ -32,10 +32,18 @@ def revcomp_codes(seq: np.ndarray) -> np.ndarray:
 def suffix_array(s: np.ndarray) -> np.ndarray:
     """Suffix array of `s` (codes), implicit terminal sentinel smaller than
     every symbol (shorter-suffix-first tie-break). Returns SA WITHOUT the
-    sentinel row, i.e. a permutation of 0..n-1."""
+    sentinel row, i.e. a permutation of 0..n-1.
+
+    Uses the native linear-time SA-IS (csrc/sais.cpp) when available,
+    falling back to vectorized numpy prefix-doubling."""
     n = len(s)
     if n == 0:
         return np.zeros(0, np.int64)
+    from bwamem_tpu import native
+
+    sa = native.sais_u8(np.asarray(s, np.uint8))
+    if sa is not None:
+        return sa
     rank = np.asarray(s, np.int64)
     sa = np.argsort(rank, kind="stable")
     r = np.empty(n, np.int64)

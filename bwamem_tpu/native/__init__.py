@@ -1,0 +1,87 @@
+"""Native (C++) components, loaded via ctypes.
+
+The reference's native code is its RTL + the C host (SURVEY.md §2);
+ours is csrc/*.cpp compiled to a shared library.  The library builds
+lazily with g++ on first use and is cached next to this package; every
+native path has a pure-numpy fallback so the package works without a
+toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CSRC = os.path.join(_HERE, os.pardir, os.pardir, "csrc")
+_SO = os.path.join(_HERE, "libbwamem.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    srcs = [os.path.join(_CSRC, f) for f in sorted(os.listdir(_CSRC))
+            if f.endswith(".cpp")]
+    if not srcs:
+        return False
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           "-o", _SO] + srcs
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded shared library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or _newer_sources():
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            lib.bwamem_sais_u8.restype = ctypes.c_int
+            lib.bwamem_sais_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64]
+            _lib = lib
+        except OSError:
+            _lib = None
+        return _lib
+
+
+def _newer_sources() -> bool:
+    try:
+        so_mtime = os.path.getmtime(_SO)
+        return any(
+            os.path.getmtime(os.path.join(_CSRC, f)) > so_mtime
+            for f in os.listdir(_CSRC) if f.endswith(".cpp"))
+    except OSError:
+        return True
+
+
+def sais_u8(s: np.ndarray) -> np.ndarray | None:
+    """Linear-time suffix array of uint8 codes via the C++ SA-IS, or
+    None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(s, np.uint8)
+    n = len(s)
+    sa = np.empty(n, np.int64)
+    rc = lib.bwamem_sais_u8(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, int(s.max(initial=0)) + 1)
+    return sa if rc == 0 else None

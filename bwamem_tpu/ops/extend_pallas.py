@@ -80,12 +80,14 @@ def _extend_kernel(tmax_ref, query_ref, target_ref, scal_ref, out_ref, *,
                   jnp.maximum(h0 - oe_ins - (jidx - 1) * e_ins, 0), 0))
     init_e = jnp.zeros((blk_b, qmax), jnp.int32)
 
+    # Mosaic cannot carry i1 vectors through scf.while -> done is int32
     valid = (qlen > 0) & (tlen > 0) & (h0 > 0)
+    done0 = 1 - valid.astype(jnp.int32)
 
     def row(c):
         (i, tgt_rot, eh_h, eh_e, beg0, end0, done, best, max_i, max_jv,
          max_ie, gscore, max_off) = c
-        active = (~done) & (i < tlen)
+        active = (done == 0) & (i < tlen)
 
         # adaptive band clamp
         beg = jnp.maximum(beg0, i - aw)
@@ -153,7 +155,8 @@ def _extend_kernel(tmax_ref, query_ref, target_ref, scal_ref, out_ref, *,
         else:
             break_z = jnp.zeros_like(break_zero)
 
-        done = done | break_zero | break_z | (i + 1 >= tlen)
+        done = jnp.maximum(
+            done, (break_zero | break_z | (i + 1 >= tlen)).astype(jnp.int32))
 
         # zero-run band trimming on the updated eh
         nz = (new_eh_h != 0) | (new_eh_e != 0)
@@ -173,11 +176,11 @@ def _extend_kernel(tmax_ref, query_ref, target_ref, scal_ref, out_ref, *,
     z1 = jnp.zeros((blk_b, 1), jnp.int32)
     m1 = jnp.full((blk_b, 1), -1, jnp.int32)
     carry = (jnp.int32(0), target_ref[:, :], init_h, init_e, z1, qlen,
-             ~valid, h0, m1, m1, m1, m1, z1)
+             done0, h0, m1, m1, m1, m1, z1)
     tmax = tmax_ref[g]
 
     def cond(c):
-        return (c[0] < tmax) & jnp.logical_not(jnp.all(c[6]))
+        return (c[0] < tmax) & (jnp.min(c[6]) == 0)
 
     carry = jax.lax.while_loop(cond, row, carry)
     (_, _, _, _, _, _, _, best, max_i, max_jv, max_ie, gscore,
@@ -188,13 +191,16 @@ def _extend_kernel(tmax_ref, query_ref, target_ref, scal_ref, out_ref, *,
         axis=1)
 
 
-def extend_batch_core(query, qlen, target, tlen, aw, h0,
-                      params: ExtendParams, *, blk_b: int = 256,
-                      interpret: bool = False) -> ExtendOut:
-    """One banded extension pass (no doubling) — Pallas TPU fast path.
+def extend_batch_raw(query, target, scal, tmax, params: ExtendParams, *,
+                     blk_b: int = 256, interpret: bool = False):
+    """The bare kernel invocation: returns the (B, 8) result matrix
+    [score, qle, tle, gtle, gscore, max_off, aw, 0].
 
-    Same contract as extend_jax.extend_batch_core.  B must be a multiple
-    of blk_b (pad with qlen==0 tasks via pipeline.tasks.pack_tasks).
+    `scal` is the (B, 8) int32 per-task scalar block [qlen, tlen, aw, h0,
+    0...]; `tmax` the (B//blk_b,) per-block row bound.  Keeping packing on
+    the host makes the jitted program essentially just the pallas_call —
+    important here because the axon remote XLA compile is pathologically
+    slow for composite programs while Mosaic kernels compile in seconds.
     """
     B, qmax = query.shape
     assert B % blk_b == 0, (B, blk_b)
@@ -202,17 +208,6 @@ def extend_batch_core(query, qlen, target, tlen, aw, h0,
     mat = np.asarray(params.mat_flat).reshape(params.m, params.m)
     a = int(mat[0, 0])
     b = -int(mat[0, 1])
-
-    scal = jnp.stack([
-        jnp.asarray(qlen, jnp.int32), jnp.asarray(tlen, jnp.int32),
-        jnp.asarray(aw, jnp.int32), jnp.asarray(h0, jnp.int32),
-        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32)], axis=1)
-
-    # per-block row-loop bound: max tlen of valid tasks in the block
-    tl = jnp.asarray(tlen, jnp.int32).reshape(grid, blk_b)
-    vq = jnp.asarray(qlen, jnp.int32).reshape(grid, blk_b)
-    tmax = jnp.max(jnp.where(vq > 0, tl, 0), axis=1)
 
     kernel = functools.partial(
         _extend_kernel, qmax=qmax, a=a, b=b,
@@ -234,7 +229,7 @@ def extend_batch_core(query, qlen, target, tlen, aw, h0,
                                memory_space=pltpu.VMEM),
     )
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 8), jnp.int32),
@@ -242,6 +237,43 @@ def extend_batch_core(query, qlen, target, tlen, aw, h0,
     )(tmax, jnp.asarray(query, jnp.int32), jnp.asarray(target, jnp.int32),
       scal)
 
+
+def pack_scal(qlen, tlen, aw, h0, blk_b: int = 256):
+    """Host-side numpy packing of the scalar block + per-block tmax."""
+    B = len(qlen)
+    scal = np.zeros((B, 8), np.int32)
+    scal[:, 0] = qlen
+    scal[:, 1] = tlen
+    scal[:, 2] = aw
+    scal[:, 3] = h0
+    grid = B // blk_b
+    tl = np.asarray(tlen, np.int32).reshape(grid, blk_b)
+    vq = np.asarray(qlen, np.int32).reshape(grid, blk_b)
+    tmax = np.max(np.where(vq > 0, tl, 0), axis=1).astype(np.int32)
+    return scal, tmax
+
+
+def extend_batch_core(query, qlen, target, tlen, aw, h0,
+                      params: ExtendParams, *, blk_b: int = 256,
+                      interpret: bool = False) -> ExtendOut:
+    """One banded extension pass (no doubling) — Pallas TPU fast path.
+
+    Same contract as extend_jax.extend_batch_core.  B must be a multiple
+    of blk_b (pad with qlen==0 tasks via pipeline.tasks.pack_tasks).
+    """
+    B = query.shape[0]
+    grid = B // blk_b
+    qlen = jnp.asarray(qlen, jnp.int32)
+    tlen = jnp.asarray(tlen, jnp.int32)
+    aw = jnp.asarray(aw, jnp.int32)
+    h0 = jnp.asarray(h0, jnp.int32)
+    scal = jnp.stack([qlen, tlen, aw, h0] + [jnp.zeros((B,), jnp.int32)] * 4,
+                     axis=1)
+    tl = tlen.reshape(grid, blk_b)
+    vq = qlen.reshape(grid, blk_b)
+    tmax = jnp.max(jnp.where(vq > 0, tl, 0), axis=1)
+    out = extend_batch_raw(query, target, scal, tmax, params, blk_b=blk_b,
+                           interpret=interpret)
     return ExtendOut(
         score=out[:, 0], qle=out[:, 1], tle=out[:, 2], gtle=out[:, 3],
         gscore=out[:, 4], max_off=out[:, 5], w_used=out[:, 6])
