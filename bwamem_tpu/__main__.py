@@ -1,0 +1,174 @@
+"""Command-line interface — the `bwa` drop-in surface.
+
+  python -m bwamem_tpu index ref.fa
+  python -m bwamem_tpu mem [-t N] [-b BATCH] [-M] [-a] [-R RG] \
+         [--backend pallas|jax|scalar] ref.fa reads.fq [mates.fq] > out.sam
+
+Mirrors the reference invocation `$BWA mem --target=ASE|Direct -t N
+-b BATCH -Ma -R hdr ref.fa in.fq` (README.md:28-34): `--backend` is the
+ASE/Direct analogue (scalar = pure-host model, jax = XLA twin on any
+device, pallas = the TPU fast path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def cmd_index(args) -> int:
+    from bwamem_tpu.index.build import build_index
+    from bwamem_tpu.io.fasta import read_fasta
+
+    ref = read_fasta(args.fasta)
+    sys.stderr.write(
+        f"[index] {len(ref.contigs)} contig(s), {ref.l_pac} bp\n")
+    fm = build_index(ref.pac, sa_intv=args.sa_intv)
+    out = args.fasta + ".bwt.npz"
+    np.savez_compressed(
+        out,
+        l_pac=fm.l_pac, seq_len2=fm.seq_len2, primary=fm.primary,
+        C=fm.C, bwt=fm.bwt, occ_cp=fm.occ_cp, sa_intv=fm.sa_intv,
+        ssa=fm.ssa, pac=fm.pac,
+        names=np.array([c.name for c in ref.contigs]),
+        offsets=np.array([c.offset for c in ref.contigs]),
+        lengths=np.array([c.length for c in ref.contigs]),
+    )
+    sys.stderr.write(f"[index] wrote {out}\n")
+    return 0
+
+
+def load_index(fasta: str):
+    from bwamem_tpu.index.build import FMIndex
+    from bwamem_tpu.io.fasta import Contig, Reference
+
+    path = fasta + ".bwt.npz"
+    if not os.path.exists(path):
+        sys.stderr.write(f"[mem] no index at {path}; run `index` first\n")
+        raise SystemExit(1)
+    z = np.load(path, allow_pickle=False)
+    fm = FMIndex(
+        l_pac=int(z["l_pac"]), seq_len2=int(z["seq_len2"]),
+        primary=int(z["primary"]), C=z["C"], bwt=z["bwt"],
+        occ_cp=z["occ_cp"], sa_intv=int(z["sa_intv"]), ssa=z["ssa"],
+        pac=z["pac"])
+    contigs = [Contig(str(n), int(o), int(l)) for n, o, l in
+               zip(z["names"], z["offsets"], z["lengths"])]
+    return Reference(contigs=contigs, pac=z["pac"]), fm
+
+
+def make_extend_backend(opt, backend: str):
+    """Returns extend_batch_fn for the driver, or None for scalar."""
+    if backend == "scalar":
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.extend_jax import ExtendParams
+
+    params = ExtendParams(
+        mat_flat=jnp.asarray(opt.mat.astype(np.int32).ravel()), m=5,
+        o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+        e_ins=opt.e_ins, zdrop=opt.zdrop)
+    if backend == "jax":
+        from bwamem_tpu.ops.extend_jax import extend_batch_core
+
+        return lambda *a: extend_batch_core(*a, params)
+    from bwamem_tpu.ops import extend_pallas
+
+    return lambda *a: extend_pallas.extend_batch_core(*a, params)
+
+
+def cmd_mem(args) -> int:
+    from bwamem_tpu.config import MemOptions
+    from bwamem_tpu.io.fastq import read_fastq
+    from bwamem_tpu.io.sam import sam_header
+    from bwamem_tpu.pipeline import align as A
+    from bwamem_tpu.pipeline.driver import align_batch
+    from bwamem_tpu.pipeline.pair import align_pairs
+
+    opt = MemOptions(flag_M=args.M, flag_a=args.a, w=args.w,
+                     min_seed_len=args.k, T=args.T)
+    ref, fm = load_index(args.fasta)
+    reads = read_fastq(args.reads)
+    mates = read_fastq(args.mates) if args.mates else None
+    out = sys.stdout
+    out.write(sam_header(ref.contigs, rg_line=args.R,
+                         pg_cl=" ".join(sys.argv)))
+    n_rec = 0
+    if mates is not None:
+        assert len(reads) == len(mates), "read/mate count mismatch"
+        for i in range(0, len(reads), args.b):
+            chunk = reads[i:i + args.b]
+            mchunk = mates[i:i + args.b]
+            recs = align_pairs(
+                opt, ref, fm,
+                [r.seq.astype(np.int64) for r in chunk],
+                [m.seq.astype(np.int64) for m in mchunk],
+                names=[r.name for r in chunk],
+                quals1=[r.qual for r in chunk],
+                quals2=[m.qual for m in mchunk])
+            for rr in recs:
+                for rec in rr:
+                    out.write(rec.line() + "\n")
+                    n_rec += 1
+    else:
+        backend_fn = make_extend_backend(opt, args.backend)
+        for i in range(0, len(reads), args.b):
+            chunk = reads[i:i + args.b]
+            if backend_fn is None:
+                all_recs = [
+                    A.align_read(opt, ref, fm, r.name,
+                                 r.seq.astype(np.int64), r.qual)
+                    for r in chunk]
+            else:
+                all_recs = align_batch(
+                    opt, ref, fm,
+                    [r.seq.astype(np.int64) for r in chunk], backend_fn,
+                    names=[r.name for r in chunk],
+                    quals=[r.qual for r in chunk])
+            for rr in all_recs:
+                for rec in rr:
+                    out.write(rec.line() + "\n")
+                    n_rec += 1
+    sys.stderr.write(f"[mem] wrote {n_rec} records for {len(reads)} reads\n")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="bwamem_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ix = sub.add_parser("index", help="build the FM-index")
+    ix.add_argument("fasta")
+    ix.add_argument("--sa-intv", type=int, default=8)
+    ix.set_defaults(fn=cmd_index)
+
+    mem = sub.add_parser("mem", help="align reads")
+    mem.add_argument("fasta")
+    mem.add_argument("reads")
+    mem.add_argument("mates", nargs="?", default=None)
+    mem.add_argument("-t", type=int, default=1, help="threads (reserved)")
+    mem.add_argument("-b", type=int, default=512, help="batch size")
+    mem.add_argument("-k", type=int, default=19, help="min seed length")
+    mem.add_argument("-w", type=int, default=100, help="band width")
+    mem.add_argument("-T", type=int, default=30, help="min output score")
+    mem.add_argument("-M", action="store_true",
+                     help="mark shorter split hits as secondary")
+    mem.add_argument("-a", action="store_true",
+                     help="output all alignments")
+    mem.add_argument("-R", default=None, help="read group header line")
+    mem.add_argument("--backend", default="scalar",
+                     choices=["scalar", "jax", "pallas"],
+                     help="extension backend (ASE/Direct analogue)")
+    mem.set_defaults(fn=cmd_mem)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
