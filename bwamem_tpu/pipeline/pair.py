@@ -257,7 +257,96 @@ def align_pairs(opt: MemOptions, ref: Reference, fm, reads1, reads2,
                        for r0, r1 in regs])
     out = []
     for i in range(n):
+        if opt.max_matesw > 0:
+            rescue_pairs(opt, ref, pes, (reads1[i], reads2[i]), regs[i])
         out.append(sam_pe(opt, ref, pes, names[i],
                           (reads1[i], reads2[i]),
                           (quals1[i], quals2[i]), regs[i]))
     return out
+
+
+def mem_matesw(opt: MemOptions, ref: Reference, pes: list[PEStat],
+               anchor: Region, mate_read: np.ndarray,
+               mate_regs: list[Region]) -> int:
+    """bwa mem_matesw: SW the mate read against the insert-size window
+    around `anchor` for every orientation not yet covered by an existing
+    mate region; appends rescued regions to mate_regs."""
+    from bwamem_tpu.ops.local_ref import ksw_align
+
+    l_pac = ref.l_pac
+    l_ms = len(mate_read)
+    skip = [pes[r].failed for r in range(4)]
+    for m in mate_regs:
+        r, dist = _infer_dir(l_pac, anchor.rb, m.rb)
+        if not pes[r].failed and pes[r].low <= dist <= pes[r].high:
+            skip[r] = True
+    if all(skip):
+        return 0
+    n = 0
+    for r in range(4):
+        if skip[r]:
+            continue
+        is_rev = (r >> 1) != (r & 1)
+        is_larger = not (r >> 1)
+        if is_rev:
+            seq = mate_read[::-1].copy()
+            acgt = seq < 4
+            seq[acgt] = 3 - seq[acgt]
+        else:
+            seq = mate_read
+        if not is_rev:
+            rb = anchor.rb + pes[r].low if is_larger else \
+                anchor.rb - pes[r].high
+            re = (anchor.rb + pes[r].high if is_larger else
+                  anchor.rb - pes[r].low) + l_ms
+        else:
+            rb = (anchor.rb + pes[r].low if is_larger else
+                  anchor.rb - pes[r].high) - l_ms
+            re = anchor.rb + pes[r].high if is_larger else \
+                anchor.rb - pes[r].low
+        rb = max(rb, 0)
+        re = min(re, l_pac << 1)
+        # clamp to one strand (bns_fetch_seq centers on the anchor side)
+        if rb < l_pac < re:
+            if anchor.rb < l_pac:
+                re = l_pac
+            else:
+                rb = l_pac
+        if rb >= re:
+            continue
+        rseq = ref.get_seq(rb, re)
+        score, qb, qe, tb, te, score2 = ksw_align(
+            seq, rseq, opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+        if score >= opt.min_seed_len * opt.a and qb >= 0:
+            b = Region()
+            if is_rev:
+                b.qb = l_ms - qe
+                b.qe = l_ms - qb
+                b.rb = (l_pac << 1) - (rb + te)
+                b.re = (l_pac << 1) - (rb + tb)
+            else:
+                b.qb, b.qe = qb, qe
+                b.rb, b.re = rb + tb, rb + te
+            b.score = b.truesc = score
+            b.csub = score2
+            b.secondary = -1
+            b.w = opt.w
+            b.seedcov = min(b.re - b.rb, b.qe - b.qb) >> 1
+            mate_regs.append(b)
+            n += 1
+    return n
+
+
+def rescue_pairs(opt: MemOptions, ref: Reference, pes: list[PEStat],
+                 reads, regs2) -> None:
+    """The mem_sam_pe rescue loop: for each end's near-best regions,
+    try to rescue the other end (up to max_matesw anchors)."""
+    for i in (0, 1):
+        regs_i = regs2[i]
+        if not regs_i:
+            continue
+        best = max(r.score for r in regs_i)
+        anchors = [r for r in regs_i
+                   if r.score >= best - opt.pen_unpaired]
+        for a in anchors[:opt.max_matesw]:
+            mem_matesw(opt, ref, pes, a, reads[1 - i], regs2[1 - i])

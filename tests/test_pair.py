@@ -111,3 +111,40 @@ def test_distant_mates_not_proper(world):
     prim = [r for r in last if not r.flag & 0x900]
     assert all(not (r.flag & 0x2) for r in prim)  # not a proper pair
     assert all(not r.flag & 0x4 for r in prim)    # both still mapped
+
+
+def test_mate_rescue(world):
+    """A mate whose seeds are destroyed by heavy mutation is recovered by
+    matesw from the anchor's insert window."""
+    ref, fm, rng = world
+    r1s, r2s, _ = make_pairs(rng, ref, 20)
+    pos = 30000
+    isize = 310
+    good = ref.pac[pos:pos + 100].astype(np.int64)
+    bad = ref.pac[pos + isize - 100:pos + isize].astype(np.int64).copy()
+    # mutate every ~10th base: no 19bp exact seed survives, SW still wins
+    for p in range(4, 100, 9):
+        bad[p] = (bad[p] + 1 + rng.integers(0, 3)) % 4
+    bad = revcomp_read(bad)
+    out = align_pairs(OPT, ref, fm, r1s + [good], r2s + [bad])
+    last = out[-1]
+    a = [r for r in last if r.flag & 0x40 and not r.flag & 0x900][0]
+    b = [r for r in last if r.flag & 0x80 and not r.flag & 0x900][0]
+    assert not b.flag & 0x4, "mate was not rescued"
+    # local SW may soft-clip a mutated edge; position within a few bp
+    assert abs(b.pos - (pos + isize - 100 + 1)) <= 10
+    assert b.flag & 0x10
+    assert a.flag & 0x2 and b.flag & 0x2  # rescued into a proper pair
+
+
+def test_rescue_skipped_when_consistent(world):
+    """Pairs already consistent skip the SW (mem_matesw skip[] logic) —
+    output must equal the no-rescue run."""
+    ref, fm, rng = world
+    r1s, r2s, _ = make_pairs(rng, ref, 15)
+    out1 = align_pairs(OPT, ref, fm, r1s, r2s)
+    from bwamem_tpu.config import MemOptions
+    out2 = align_pairs(MemOptions(max_matesw=0), ref, fm, r1s, r2s)
+    l1 = [[r.line() for r in recs] for recs in out1]
+    l2 = [[r.line() for r in recs] for recs in out2]
+    assert l1 == l2
