@@ -193,3 +193,45 @@ def chain_read(fm: FMIndex, read: np.ndarray, opt: MemOptions) -> list[Chain]:
     # chaining relies on qbeg monotonicity within a chain
     chains = chain_seeds(opt, fm.l_pac, seeds)
     return filter_chains(opt, chains)
+
+
+def collect_seeds_batch(fm: FMIndex, po, reads: list[np.ndarray],
+                        opt: MemOptions) -> list[list[Seed]]:
+    """Batched collect_seeds across reads: batched SMEM search + one
+    batched SA lookup for every occurrence (identical output to
+    collect_seeds per read)."""
+    from bwamem_tpu.index.occ_packed import sa_value_batch
+    from bwamem_tpu.index.smem_batch import collect_smems_batch
+
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    memss = collect_smems_batch(po, fm, reads, opt.min_seed_len,
+                                split_len, opt.split_width)
+    rows: list[int] = []
+    meta: list[tuple[int, int, int]] = []
+    for b, mems in enumerate(memss):
+        for m in mems:
+            step = m.s // opt.max_occ if m.s > opt.max_occ else 1
+            k = 0
+            count = 0
+            while k < m.s and count < opt.max_occ:
+                rows.append(m.x0 + k)
+                meta.append((b, m.qb, m.qlen))
+                k += step
+                count += 1
+    seeds: list[list[Seed]] = [[] for _ in reads]
+    if rows:
+        vals = sa_value_batch(po, fm.ssa, fm.sa_intv,
+                              np.asarray(rows, np.int64))
+        for (b, qb, ln), rb in zip(meta, vals):
+            seeds[b].append(Seed(rbeg=int(rb), qbeg=qb, len=ln))
+    return seeds
+
+
+def chain_reads_batch(fm: FMIndex, po, reads: list[np.ndarray],
+                      opt: MemOptions) -> list[list[Chain]]:
+    """Batched chain_read: batched seeding, then per-read chaining."""
+    all_seeds = collect_seeds_batch(fm, po, reads, opt)
+    return [
+        filter_chains(opt, chain_seeds(opt, fm.l_pac, s)) if s else []
+        for s in all_seeds
+    ]

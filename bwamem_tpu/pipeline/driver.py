@@ -127,16 +127,23 @@ def _resolve(opt: MemOptions, per_w, prev_score):
 
 def align_batch(opt: MemOptions, ref: Reference, fm, reads,
                 extend_batch_fn: Callable, names=None, quals=None,
-                ) -> list[list[SamRecord]]:
+                po=None) -> list[list[SamRecord]]:
     """Align a batch of reads with device-batched extension.
 
     extend_batch_fn(query, qlen, target, tlen, aw, h0) -> ExtendOut —
     typically a jitted partial of ops.extend_pallas.extend_batch_core
     (or extend_jax.extend_batch_core as the interpreter twin).
+    `po` (a PackedOcc from index.occ_packed.pack_occ) switches seeding
+    to the batched SMEM/SA path — identical output, ~vectorized speed.
     """
     names = names or [f"read{i}" for i in range(len(reads))]
     quals = quals or [None] * len(reads)
-    all_chains = [chain_read(fm, r, opt) for r in reads]
+    if po is not None:
+        from bwamem_tpu.pipeline.chain import chain_reads_batch
+
+        all_chains = chain_reads_batch(fm, po, reads, opt)
+    else:
+        all_chains = [chain_read(fm, r, opt) for r in reads]
     all_plans = [_plan_read(opt, ref, r, ch)
                  for r, ch in zip(reads, all_chains)]
 

@@ -1,0 +1,86 @@
+"""Packed-rank structures vs the scalar FM-index."""
+
+import numpy as np
+import pytest
+
+from bwamem_tpu.index.build import build_index
+from bwamem_tpu.index import fmindex as F
+from bwamem_tpu.index.occ_packed import (
+    extend_backward4,
+    extend_forward4,
+    pack_occ,
+    rank4,
+)
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(6)
+    pac = rng.integers(0, 5, 3000).astype(np.uint8)  # includes Ns
+    pac[pac == 4] = np.where(rng.random((pac == 4).sum()) < 0.9, 0, 4)
+    fm = build_index(pac)
+    return fm, pack_occ(fm)
+
+
+def test_rank4_matches_scalar(world):
+    fm, po = world
+    rng = np.random.default_rng(0)
+    pos = rng.integers(0, fm.seq_len2 + 2, 500)
+    got = rank4(po, pos)
+    for k in range(0, 500, 17):
+        for c in range(4):
+            assert got[k, c] == fm.rank(c, int(pos[k])), (k, c)
+
+
+def test_rank4_edges(world):
+    fm, po = world
+    got = rank4(po, np.array([0, 1, 63, 64, 65, fm.seq_len2 + 1]))
+    for k, i in enumerate([0, 1, 63, 64, 65, fm.seq_len2 + 1]):
+        for c in range(4):
+            assert got[k, c] == fm.rank(c, i)
+
+
+def test_extend_backward4_matches_scalar(world):
+    fm, po = world
+    rng = np.random.default_rng(1)
+    iks = []
+    for _ in range(40):
+        c = int(rng.integers(0, 4))
+        ik = F.interval_of_char(fm, c)
+        for _ in range(int(rng.integers(0, 4))):
+            exts = F.extend_backward(fm, ik)
+            nz = [e for e in exts if e.s > 0]
+            if not nz:
+                break
+            ik = nz[int(rng.integers(0, len(nz)))]
+        iks.append(ik)
+    x0 = np.array([k.x0 for k in iks])
+    x1 = np.array([k.x1 for k in iks])
+    s = np.array([k.s for k in iks])
+    nx0, nx1, ns = extend_backward4(po, x0, x1, s)
+    for k, ik in enumerate(iks):
+        want = F.extend_backward(fm, ik)
+        for c in range(4):
+            assert (nx0[k, c], nx1[k, c], ns[k, c]) == \
+                (want[c].x0, want[c].x1, want[c].s), (k, c)
+
+
+def test_extend_forward4_matches_scalar(world):
+    fm, po = world
+    ik = F.interval_of_char(fm, 2)
+    nx0, nx1, ns = extend_forward4(
+        po, np.array([ik.x0]), np.array([ik.x1]), np.array([ik.s]))
+    want = F.extend_forward(fm, ik)
+    for c in range(4):
+        assert (nx0[0, c], nx1[0, c], ns[0, c]) == \
+            (want[c].x0, want[c].x1, want[c].s), c
+
+
+def test_sa_value_batch(world):
+    from bwamem_tpu.index.occ_packed import sa_value_batch
+    fm, po = world
+    rng = np.random.default_rng(2)
+    rows = rng.integers(0, fm.seq_len2 + 1, 300)
+    got = sa_value_batch(po, fm.ssa, fm.sa_intv, rows)
+    for k in range(0, 300, 13):
+        assert got[k] == fm.sa_value(int(rows[k])), k
