@@ -237,10 +237,11 @@ def sam_pe(opt: MemOptions, ref: Reference, pes: list[PEStat], name: str,
 
 def align_pairs(opt: MemOptions, ref: Reference, fm, reads1, reads2,
                 names=None, quals1=None, quals2=None,
-                extend_fn=None):
+                extend_fn=None, po=None):
     """Full paired-end batch alignment (mem_process_seqs PE path):
     compute regions for all ends, infer the insert-size distribution
-    from the batch, then pair and emit."""
+    from the batch, then pair and emit.  `po` switches to batched
+    seeding (index.occ_packed.pack_occ)."""
     from bwamem_tpu.pipeline import align as A
 
     n = len(reads1)
@@ -248,10 +249,20 @@ def align_pairs(opt: MemOptions, ref: Reference, fm, reads1, reads2,
     quals1 = quals1 or [None] * n
     quals2 = quals2 or [None] * n
     efn = extend_fn or A.default_extend_fn
+    if po is not None:
+        from bwamem_tpu.pipeline.chain import chain_reads_batch
+
+        all_chains = chain_reads_batch(fm, po, list(reads1) + list(reads2),
+                                       opt)
+        ch1, ch2 = all_chains[:n], all_chains[n:]
+    else:
+        ch1 = ch2 = [None] * n
     regs = []
-    for r1, r2 in zip(reads1, reads2):
-        regs.append((A.compute_regions(opt, ref, fm, r1, efn),
-                     A.compute_regions(opt, ref, fm, r2, efn)))
+    for i, (r1, r2) in enumerate(zip(reads1, reads2)):
+        regs.append((A.compute_regions(opt, ref, fm, r1, efn,
+                                       chains=ch1[i]),
+                     A.compute_regions(opt, ref, fm, r2, efn,
+                                       chains=ch2[i])))
     pes = infer_isize(opt, ref.l_pac,
                       [(r0[0] if r0 else None, r1[0] if r1 else None)
                        for r0, r1 in regs])

@@ -148,3 +148,14 @@ def test_rescue_skipped_when_consistent(world):
     l1 = [[r.line() for r in recs] for recs in out1]
     l2 = [[r.line() for r in recs] for recs in out2]
     assert l1 == l2
+
+
+def test_align_pairs_batched_seeding_identical(world):
+    from bwamem_tpu.index.occ_packed import pack_occ
+    ref, fm, rng = world
+    po = pack_occ(fm)
+    r1s, r2s, _ = make_pairs(rng, ref, 12)
+    a = align_pairs(OPT, ref, fm, r1s, r2s)
+    b = align_pairs(OPT, ref, fm, r1s, r2s, po=po)
+    assert [[r.line() for r in x] for x in a] == \
+        [[r.line() for r in x] for x in b]

@@ -1,0 +1,35 @@
+"""Metrics counters and checkpoint manifest."""
+
+import numpy as np
+
+from bwamem_tpu.utils.checkpoint import Manifest, ReadRange
+from bwamem_tpu.utils.metrics import Counters, Tracer, band_cells
+
+
+def test_band_cells():
+    assert band_cells([100, 50], [200, 100], [100, 10]) == \
+        200 * 100 + 100 * 21
+
+
+def test_tracer_counters(tmp_path):
+    tr = Tracer(str(tmp_path / "trace.jsonl"))
+    tr.batch("extend_L", 512, 10_000_000, 0.005)
+    tr.batch("extend_R", 512, 10_000_000, 0.005)
+    assert tr.counters.device_batches == 2
+    assert abs(tr.counters.gcups() - 2.0) < 1e-6
+    tr.close()
+    lines = (tmp_path / "trace.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+
+
+def test_manifest_resume(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    m = Manifest(p)
+    todo = m.pending(shard=0, n_reads=100, batch=40)
+    assert [(r.start, r.end) for r in todo] == [(0, 40), (40, 80), (80, 100)]
+    m.mark_done(todo[0])
+    m.mark_done(todo[2])
+    # a fresh process resumes exactly the missing range
+    m2 = Manifest(p)
+    left = m2.pending(0, 100, 40)
+    assert [(r.start, r.end) for r in left] == [(40, 80)]
