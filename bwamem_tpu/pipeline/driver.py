@@ -69,18 +69,33 @@ def _plan_read(opt: MemOptions, ref: Reference, read: np.ndarray, chains):
     return plans
 
 
-def _device_extend(opt: MemOptions, jobs, extend_batch_fn):
-    """Batch one list of (key, query, target, h0, pen_clip) through the
-    device kernel at both attempted widths.
-    Returns {key: {attempted_w: ExtendResult}}."""
+def _bucket(n: int, buckets=(128, 256, 512, 1024, 2048, 4096)) -> int:
+    """Smallest standard size >= n.  Fixed shape buckets keep the set of
+    compiled programs tiny — with per-batch exact shapes every batch
+    recompiled (the dominant cost: this environment's XLA compiles are
+    minutes), with buckets the compile happens once and lives in the
+    persistent cache."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return round_up(n, buckets[-1])
+
+
+def _run_pass(opt, jobs, extend_batch_fn, k):
+    """One kernel pass at attempted width opt.w<<k over a job list.
+    Returns list of ExtendResult aligned with jobs.
+
+    Tasks are sorted by target length before packing so each kernel
+    block's scalar-prefetched row bound is tight (the bucketing lesson
+    from SURVEY.md §7: the FPGA tolerates task-length divergence with
+    MIMD PEs; we sort instead)."""
     import jax.numpy as jnp
 
-    if not jobs:
-        return {}
     B = len(jobs)
-    qmax = round_up(max(max((len(j[1]) for j in jobs), default=1), 1), 128)
-    tmax = round_up(max(max((len(j[2]) for j in jobs), default=1), 1), 128)
-    Bp = round_up(B, 8)
+    order = sorted(range(B), key=lambda i: -len(jobs[i][2]))
+    qmax = _bucket(max(max((len(j[1]) for j in jobs), default=1), 1))
+    tmax = _bucket(max(max((len(j[2]) for j in jobs), default=1), 1))
+    Bp = max(512, round_up(B, 512))  # fixed-ish batch shape
     query = np.zeros((Bp, qmax), np.int32)
     target = np.zeros((Bp, tmax), np.int32)
     qlen = np.zeros(Bp, np.int32)
@@ -88,27 +103,60 @@ def _device_extend(opt: MemOptions, jobs, extend_batch_fn):
     h0 = np.zeros(Bp, np.int32)
     max_ins = np.ones(Bp, np.int32)
     max_del = np.ones(Bp, np.int32)
-    for i, (key, q, t, h, pen) in enumerate(jobs):
-        query[i, :len(q)] = q
-        target[i, :len(t)] = t
-        qlen[i], tlen[i], h0[i] = len(q), len(t), h
-        max_ins[i] = A._max_gap_bound(opt, len(q), opt.o_ins, opt.e_ins, pen)
-        max_del[i] = A._max_gap_bound(opt, len(q), opt.o_del, opt.e_del, pen)
+    for slot, i in enumerate(order):
+        key, q, t, h, pen = jobs[i]
+        query[slot, :len(q)] = q
+        target[slot, :len(t)] = t
+        qlen[slot], tlen[slot], h0[slot] = len(q), len(t), h
+        max_ins[slot] = A._max_gap_bound(opt, len(q), opt.o_ins,
+                                         opt.e_ins, pen)
+        max_del[slot] = A._max_gap_bound(opt, len(q), opt.o_del,
+                                         opt.e_del, pen)
+    aw = np.minimum(np.minimum(opt.w << k, max_ins),
+                    max_del).astype(np.int32)
+    res = extend_batch_fn(
+        jnp.asarray(query), jnp.asarray(qlen), jnp.asarray(target),
+        jnp.asarray(tlen), jnp.asarray(aw), jnp.asarray(h0))
+    arr = {f: np.asarray(getattr(res, f)) for f in
+           ("score", "qle", "tle", "gtle", "gscore", "max_off")}
+    out: list[ExtendResult | None] = [None] * B
+    for slot, i in enumerate(order):
+        out[i] = ExtendResult(
+            score=int(arr["score"][slot]), qle=int(arr["qle"][slot]),
+            tle=int(arr["tle"][slot]), gtle=int(arr["gtle"][slot]),
+            gscore=int(arr["gscore"][slot]),
+            max_off=int(arr["max_off"][slot]), w_used=int(aw[slot]))
+    return out
+
+
+def _device_extend(opt: MemOptions, jobs, extend_batch_fn):
+    """Batch one list of (key, query, target, h0, pen_clip) through the
+    device kernel: pass k=0 for everything, then pass k=1 COMPACTED to
+    the tasks whose pass-0 result did not converge (the FPGA re-runs
+    internally, sw_extend.v:1963; we re-batch — most tasks converge, so
+    the retry batch is a small fraction).
+    Returns {key: {attempted_w: ExtendResult}}."""
+    if not jobs:
+        return {}
     out = {}
-    for k in (0, 1):
-        aw = np.minimum(np.minimum(opt.w << k, max_ins),
-                        max_del).astype(np.int32)
-        res = extend_batch_fn(
-            jnp.asarray(query), jnp.asarray(qlen), jnp.asarray(target),
-            jnp.asarray(tlen), jnp.asarray(aw), jnp.asarray(h0))
-        arr = {f: np.asarray(getattr(res, f)) for f in
-               ("score", "qle", "tle", "gtle", "gscore", "max_off")}
-        for i, (key, *_rest) in enumerate(jobs):
-            out.setdefault(key, {})[opt.w << k] = ExtendResult(
-                score=int(arr["score"][i]), qle=int(arr["qle"][i]),
-                tle=int(arr["tle"][i]), gtle=int(arr["gtle"][i]),
-                gscore=int(arr["gscore"][i]), max_off=int(arr["max_off"][i]),
-                w_used=int(aw[i]))
+    res0 = _run_pass(opt, jobs, extend_batch_fn, 0)
+    aw0 = opt.w
+    retry = []
+    for j, r0 in zip(jobs, res0):
+        out[j[0]] = {aw0: r0}
+        # a task needs pass 1 iff the bwa convergence test can fail for
+        # it under ANY caller prev_score: score==prev may still hold, so
+        # retry when the max_off test alone does not prove convergence
+        if not (r0.max_off < (aw0 >> 1) + (aw0 >> 2)):
+            retry.append(j)
+    if retry:
+        res1 = _run_pass(opt, retry, extend_batch_fn, 1)
+        for j, r1 in zip(retry, res1):
+            out[j[0]][opt.w << 1] = r1
+    # converged tasks reuse their pass-0 result as the "pass 1" entry
+    # (never consulted by _resolve, but keeps the table total)
+    for j, r0 in zip(jobs, res0):
+        out[j[0]].setdefault(opt.w << 1, r0)
     return out
 
 
