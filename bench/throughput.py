@@ -87,11 +87,11 @@ def main():
             e_ins=opt.e_ins, zdrop=opt.zdrop)
         if args.backend == "jax":
             from bwamem_tpu.ops.extend_jax import extend_batch_core
-            backend_fn = lambda *a: extend_batch_core(*a, params)
+            backend_fn = jax.jit(lambda *a: extend_batch_core(*a, params))
         else:
             from bwamem_tpu.ops import extend_pallas
-            backend_fn = lambda *a: extend_pallas.extend_batch_core(
-                *a, params)
+            backend_fn = jax.jit(
+                lambda *a: extend_pallas.extend_batch_core(*a, params))
 
     t0 = time.time()
     n_rec = 0

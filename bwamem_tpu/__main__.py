@@ -76,10 +76,12 @@ def make_extend_backend(opt, backend: str):
     if backend == "jax":
         from bwamem_tpu.ops.extend_jax import extend_batch_core
 
-        return lambda *a: extend_batch_core(*a, params)
+        return jax.jit(lambda *a: extend_batch_core(*a, params))
     from bwamem_tpu.ops import extend_pallas
 
-    return lambda *a: extend_pallas.extend_batch_core(*a, params)
+    # jit: one dispatch per batch instead of dozens of eager ops (the
+    # axon tunnel charges ~10ms per eager dispatch)
+    return jax.jit(lambda *a: extend_pallas.extend_batch_core(*a, params))
 
 
 def cmd_mem(args) -> int:

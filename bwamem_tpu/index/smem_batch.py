@@ -234,7 +234,6 @@ def collect_smems_batch(po: PackedOcc, fm: FMIndex, reads: list[np.ndarray],
 
     mems: list[list[BiInterval]] = [[] for _ in range(B)]
     x = np.zeros(B, np.int64)
-    ones = np.ones(B, np.int64)
     while True:
         todo = x < qlen
         if not todo.any():
@@ -246,10 +245,13 @@ def collect_smems_batch(po: PackedOcc, fm: FMIndex, reads: list[np.ndarray],
         run = todo & ~skip
         if not run.any():
             continue
-        nx, got = smem1_batch(po, fm, q, qlen, x, ones)
-        for b in np.nonzero(run)[0]:
-            mems[b].extend(m for m in got[b] if m.qlen >= min_seed_len)
-        x = np.where(run, nx, x)
+        # only the still-active rows ride the batch (later rounds have few)
+        rows = np.nonzero(run)[0]
+        nx, got = smem1_batch(po, fm, q[rows], qlen[rows], x[rows],
+                              np.ones(len(rows), np.int64))
+        for k, b in enumerate(rows):
+            mems[b].extend(m for m in got[k] if m.qlen >= min_seed_len)
+        x[rows] = nx
 
     # second round: re-seed long low-occ SMEMs from their middle
     jobs = []

@@ -57,8 +57,38 @@ def parse_fastq(text: str) -> Iterator[Read]:
 
 
 def read_fastq(path: str) -> list[Read]:
-    with open(path) as f:
-        return list(parse_fastq(f.read()))
+    with open(path, "rb") as f:
+        buf = f.read()
+    reads = _read_fastq_native(buf)
+    if reads is not None:
+        return reads
+    return list(parse_fastq(buf.decode()))
+
+
+def _read_fastq_native(buf: bytes) -> list[Read] | None:
+    """csrc/fastq.cpp single-pass scanner + vectorized base encoding."""
+    from bwamem_tpu import native
+
+    got = native.fastq_scan(buf)
+    if got is None:
+        return None
+    n, off = got
+    arr = np.frombuffer(buf, np.uint8)
+    from bwamem_tpu.io.fasta import _CODE
+
+    reads = []
+    for k in range(n):
+        ns, ne, ss, se, qs = off[k]
+        name = buf[ns:ne].decode()
+        if qs >= 0:
+            seq = _CODE[arr[ss:se]]
+            qual = buf[qs:qs + (se - ss)].decode()
+            reads.append(Read(name=name, seq=seq, qual=qual))
+        else:
+            span = arr[ss:se]
+            keep = (span != 10) & (span != 13)  # strip newlines
+            reads.append(Read(name=name, seq=_CODE[span[keep]]))
+    return reads
 
 
 def batches(reads: list[Read], batch_size: int) -> Iterator[list[Read]]:

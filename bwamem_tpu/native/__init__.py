@@ -55,6 +55,10 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64, ctypes.c_int64]
+            lib.bwamem_fastq_scan.restype = ctypes.c_int64
+            lib.bwamem_fastq_scan.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
             _lib = lib
         except OSError:
             _lib = None
@@ -85,3 +89,17 @@ def sais_u8(s: np.ndarray) -> np.ndarray | None:
         sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n, int(s.max(initial=0)) + 1)
     return sa if rc == 0 else None
+
+
+def fastq_scan(buf: bytes, max_rec: int = 1 << 22):
+    """Native record scan: returns (n, offsets (n,5) int64) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    off = np.empty((max_rec, 5), np.int64)
+    n = lib.bwamem_fastq_scan(
+        buf, len(buf), max_rec,
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if n < 0:
+        return None
+    return int(n), off[:n]

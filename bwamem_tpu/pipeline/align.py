@@ -479,4 +479,29 @@ def align_read(opt: MemOptions, ref: Reference, fm, name: str,
     if not alns:
         return [aln2sam(opt, ref, name, read, qual,
                         Alignment(flag=0x4), None)]
-    return [aln2sam(opt, ref, name, read, qual, a, alns[0]) for a in alns]
+    recs = [aln2sam(opt, ref, name, read, qual, a, alns[0]) for a in alns]
+    if not opt.flag_a:
+        xa = xa_string(opt, ref, read, regions)
+        if xa:
+            recs[0].tags.append(("XA", "Z", xa))
+    return recs
+
+
+def xa_string(opt: MemOptions, ref: Reference, read: np.ndarray,
+              regions: list[Region], cap: int = 5) -> str:
+    """bwa's XA:Z tag: alternate hits (secondary regions) of the primary,
+    as chr,±pos,CIGAR,NM; emitted when -a is off (mem_aln2sam XA path).
+    bwa caps alternates at opt->max_XA_hits (5)."""
+    alts = [p for p in regions
+            if p.secondary == 0 and p.score >= opt.T]
+    if not alts or len(alts) > cap:
+        return ""
+    parts = []
+    for p in alts[:cap]:
+        q = reg2aln(opt, ref, read, p)
+        if q.rid < 0:
+            continue
+        sign = "-" if q.is_rev else "+"
+        parts.append(f"{ref.contigs[q.rid].name},{sign}{q.pos + 1},"
+                     f"{cigar_to_string(q.cigar)},{q.nm};")
+    return "".join(parts)

@@ -170,3 +170,24 @@ def test_mapq_zero_for_duplicated_segment():
     # with -a the secondary copy is also reported
     secondaries = [r for r in recs if r.flag & 0x100]
     assert len(secondaries) >= 1
+
+
+def test_xa_tag_without_flag_a():
+    """Duplicated locus + -a off: one record with an XA alternate."""
+    from bwamem_tpu.config import MemOptions
+    rng = np.random.default_rng(7)
+    seg = rng.integers(0, 4, 2000).astype(np.uint8)
+    pac = np.concatenate([seg, rng.integers(0, 4, 1000).astype(np.uint8),
+                          seg])
+    ref = Reference(contigs=[Contig("c", 0, len(pac))], pac=pac)
+    fm = build_index(pac)
+    read = pac[500:600].astype(np.int64)
+    opt = MemOptions(flag_a=False)
+    recs = align_read(opt, ref, fm, "dup", read)
+    assert len(recs) == 1
+    tags = dict((t[0], t[2]) for t in recs[0].tags)
+    assert "XA" in tags
+    alt = tags["XA"].rstrip(";").split(",")
+    assert alt[0] == "c" and alt[2] == "100M"
+    # the alternate is the other copy of the duplication
+    assert abs(int(alt[1].lstrip("+-")) - 3501) < 5

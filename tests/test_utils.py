@@ -33,3 +33,21 @@ def test_manifest_resume(tmp_path):
     m2 = Manifest(p)
     left = m2.pending(0, 100, 40)
     assert [(r.start, r.end) for r in left] == [(40, 80)]
+
+
+def test_native_fastq_scan_matches_python(tmp_path):
+    from bwamem_tpu.io.fastq import parse_fastq, read_fastq
+
+    fq = ("@r1 comment\nACGTN\n+\nIIIII\n"
+          "@r2\nTTTT\n+\n!!!!\n"
+          ">fa1\nACGT\nACGT\n"
+          "@r3\nGG\n+\nII\n")
+    p = tmp_path / "t.fq"
+    p.write_text(fq)
+    got = read_fastq(str(p))
+    want = list(parse_fastq(fq))
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        assert g.name == w.name
+        assert np.array_equal(g.seq, w.seq)
+        assert g.qual == w.qual
