@@ -77,6 +77,10 @@ def main():
     backend_fn = None
     if args.backend != "scalar":
         import jax
+
+        from bwamem_tpu.utils.jaxcfg import enable_compilation_cache
+
+        enable_compilation_cache()
         import jax.numpy as jnp
 
         from bwamem_tpu.ops.extend_jax import ExtendParams

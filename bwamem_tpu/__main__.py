@@ -65,6 +65,10 @@ def make_extend_backend(opt, backend: str):
     if backend == "scalar":
         return None
     import jax
+
+    from bwamem_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from bwamem_tpu.ops.extend_jax import ExtendParams

@@ -62,6 +62,16 @@ class Reference:
                 return i
         return -1
 
+    def contig_window(self, pos: int) -> tuple[int, int]:
+        """Two-strand coordinate bounds of the contig containing `pos`
+        (bns_fetch_seq's one-contig restriction)."""
+        l2 = self.l_pac << 1
+        if pos < self.l_pac:
+            c = self.contigs[self.pos2rid(pos)]
+            return c.offset, c.offset + c.length
+        c = self.contigs[self.pos2rid(l2 - 1 - pos)]
+        return l2 - (c.offset + c.length), l2 - c.offset
+
     def get_seq(self, beg: int, end: int) -> np.ndarray:
         """Fetch [beg, end) in two-strand coordinates (bns_get_seq);
         requires the range to not cross the strand boundary."""

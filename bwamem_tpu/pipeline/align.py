@@ -124,6 +124,11 @@ def chain2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
             rmax1 = l_pac
         else:
             rmax0 = l_pac
+    # restrict to the anchor seed's contig (bns_fetch_seq) so extension
+    # cannot bridge a junction of the concatenated reference
+    lo, hi = ref.contig_window(seeds[0].rbeg)
+    rmax0 = max(rmax0, lo)
+    rmax1 = min(rmax1, hi)
     rseq = ref.get_seq(rmax0, rmax1)
 
     # process seeds longest-first (bwa's srt array; ties -> later index)
@@ -357,7 +362,15 @@ def reg2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
             cigar = cigar + [(S_OP, clip3)]
     a.cigar = cigar
     a.rid = ref.pos2rid(pos2)
-    a.pos = pos2 - ref.contigs[a.rid].offset if a.rid >= 0 else -1
+    # discard alignments bridging two contigs of the concatenated
+    # reference (bwa drops these junction artifacts)
+    span = cigar_ref_len(cigar)
+    if a.rid < 0 or (span > 0
+                     and ref.pos2rid(pos2 + span - 1) != a.rid):
+        a.rid = -1
+        a.flag |= 0x4
+        return a
+    a.pos = pos2 - ref.contigs[a.rid].offset
     a.score = ar.score
     a.sub = max(ar.sub, ar.csub)
     return a

@@ -54,6 +54,9 @@ def _plan_read(opt: MemOptions, ref: Reference, read: np.ndarray, chains):
                 rmax1 = ref.l_pac
             else:
                 rmax0 = ref.l_pac
+        lo, hi = ref.contig_window(seeds[0].rbeg)
+        rmax0 = max(rmax0, lo)
+        rmax1 = min(rmax1, hi)
         rseq = ref.get_seq(rmax0, rmax1)
         for si, s in enumerate(seeds):
             if s.qbeg > 0:

@@ -146,6 +146,10 @@ def test_batch_of_reads_all_place(world):
         rev = bool(rng.integers(0, 2))
         read = simulate(rng, ref, pos, snps=int(rng.integers(0, 4)), rev=rev)
         recs = align_read(OPT, ref, fm, f"b{i}", read)
+        if 35000 - 150 < pos < 35000:
+            # contig-junction reads are correctly dropped (bwa parity)
+            n -= 1
+            continue
         p = primary_of(recs)
         rid = 0 if pos < 35000 else 1
         want_pos = pos - ref.contigs[rid].offset + 1
@@ -191,3 +195,36 @@ def test_xa_tag_without_flag_a():
     assert alt[0] == "c" and alt[2] == "100M"
     # the alternate is the other copy of the duplication
     assert abs(int(alt[1].lstrip("+-")) - 3501) < 5
+
+
+def test_contig_junction_alignment_rejected():
+    """Junction handling on the concatenated reference:
+    (a) a read whose only (exact) seed bridges two contigs ends up
+        unmapped (bwa drops bridging alignments);
+    (b) a read seeded inside one contig whose EXTENSION would cross the
+        junction gets soft-clipped at the contig end (bns_fetch_seq
+        restricts the window to one contig)."""
+    rng = np.random.default_rng(21)
+    pac = rng.integers(0, 4, 4000).astype(np.uint8)
+    ref = Reference(contigs=[Contig("a", 0, 2000), Contig("b", 2000, 2000)],
+                    pac=pac)
+    fm = build_index(pac)
+
+    # (a) fully bridging exact read -> unmapped
+    read = pac[1950:2050].astype(np.int64)
+    recs = align_read(OPT, ref, fm, "jx", read)
+    assert all(r.flag & 0x4 for r in recs)
+
+    # (b) seeds in contig a, tail crosses into b but is mutated so no
+    # seed bridges; extension must clip at the contig end
+    read2 = pac[1930:2030].astype(np.int64).copy()
+    for p_ in range(60, 100, 9):
+        read2[p_] = (read2[p_] + 1) % 4
+    recs2 = align_read(OPT, ref, fm, "jc", read2)
+    mapped = [r for r in recs2 if not r.flag & 0x4]
+    assert mapped
+    import re as _re
+    for r in mapped:
+        span = sum(int(n) for n, op in _re.findall(r"(\d+)([MD])", r.cigar))
+        assert r.rname == "a"
+        assert r.pos + span - 1 <= 2000, (r.rname, r.pos, r.cigar)
