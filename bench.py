@@ -80,4 +80,15 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # the axon tunnel occasionally drops mid-run; retry a couple of
+    # times before giving up so the driver still gets its JSON line
+    last = None
+    for attempt in range(3):
+        try:
+            sys.exit(main())
+        except Exception as e:  # noqa: BLE001
+            last = e
+            print(f"[bench] attempt {attempt + 1} failed: {e}",
+                  file=sys.stderr)
+            time.sleep(60)
+    raise last

@@ -84,3 +84,26 @@ def test_sa_value_batch(world):
     got = sa_value_batch(po, fm.ssa, fm.sa_intv, rows)
     for k in range(0, 300, 13):
         assert got[k] == fm.sa_value(int(rows[k])), k
+
+
+def test_device_rank_and_extend_match_numpy(world):
+    """The xp-generic expressions produce identical results under jnp."""
+    from bwamem_tpu.ops.smem_jax import (
+        DeviceOcc,
+        extend_backward4_device,
+        rank4_device,
+    )
+    fm, po = world
+    d = DeviceOcc(po)
+    rng = np.random.default_rng(3)
+    pos = rng.integers(0, fm.seq_len2 + 1, 64)
+    got = np.asarray(rank4_device(d, pos))
+    want = rank4(po, pos)
+    np.testing.assert_array_equal(got, want)
+    x0 = pos[:16].astype(np.int64)
+    s = rng.integers(1, 5, 16).astype(np.int64)
+    x0 = np.minimum(x0, fm.seq_len2 - 5)
+    nx0, nx1, ns = extend_backward4_device(d, x0, x0, s)
+    wx0, wx1, ws = extend_backward4(po, x0, x0, s)
+    np.testing.assert_array_equal(np.asarray(nx0), wx0)
+    np.testing.assert_array_equal(np.asarray(ns), ws)
