@@ -94,8 +94,7 @@ def main():
             backend_fn = jax.jit(lambda *a: extend_batch_core(*a, params))
         else:
             from bwamem_tpu.ops import extend_pallas
-            backend_fn = jax.jit(
-                lambda *a: extend_pallas.extend_batch_core(*a, params))
+            backend_fn = extend_pallas.make_raw_backend(params)
 
     t0 = time.time()
     n_rec = 0

@@ -83,9 +83,9 @@ def make_extend_backend(opt, backend: str):
         return jax.jit(lambda *a: extend_batch_core(*a, params))
     from bwamem_tpu.ops import extend_pallas
 
-    # jit: one dispatch per batch instead of dozens of eager ops (the
-    # axon tunnel charges ~10ms per eager dispatch)
-    return jax.jit(lambda *a: extend_pallas.extend_batch_core(*a, params))
+    # raw backend: the jitted program is just the Mosaic kernel —
+    # composite XLA wrappers take minutes to compile in this environment
+    return extend_pallas.make_raw_backend(params)
 
 
 def cmd_mem(args) -> int:

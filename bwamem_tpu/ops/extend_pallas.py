@@ -553,3 +553,30 @@ def extend_batch(query, qlen, target, tlen, w, h0, max_ins, max_del,
             converged = keep | conv_k
         prev = out.score
     return out
+
+
+def make_raw_backend(params: ExtendParams, blk_l: int = 512):
+    """A driver backend whose jitted program is ONLY the pallas_call.
+
+    All packing/transposing/unpacking happens in numpy on the host, so
+    the XLA program is the Mosaic kernel alone — it compiles in seconds
+    where the composite wrapper takes minutes through this
+    environment's remote compile service.  Interface matches
+    pipeline.driver's extend_batch_fn.
+    """
+    import jax
+
+    fn = jax.jit(functools.partial(extend_batch_raw_t, params=params,
+                                   blk_l=blk_l))
+
+    def backend(query, qlen, target, tlen, aw, h0):
+        q = np.ascontiguousarray(np.asarray(query, np.int32).T)
+        t = np.ascontiguousarray(np.asarray(target, np.int32).T)
+        scal, tmax = pack_scal(np.asarray(qlen), np.asarray(tlen),
+                               np.asarray(aw), np.asarray(h0), blk_b=blk_l)
+        out = np.asarray(fn(q, t, np.ascontiguousarray(scal.T), tmax))
+        return ExtendOut(
+            score=out[0], qle=out[1], tle=out[2], gtle=out[3],
+            gscore=out[4], max_off=out[5], w_used=out[6])
+
+    return backend

@@ -125,3 +125,42 @@ def test_pallas_full_width_query():
         for b in range(B)
     ]
     check_equal(out, refs, aw)
+
+
+def test_pallas_reference_capacity_limits():
+    """The reference hardware caps: qlen<=255/side, tlen<=2047/side
+    (SURVEY.md §2.3).  The kernel must handle those extremes exactly."""
+    QM, TM = 256, 2048
+    rng = np.random.default_rng(9)
+    B = 8
+    query = rng.integers(0, 4, (B, QM)).astype(np.int32)
+    target = np.zeros((B, TM), np.int32)
+    target[:, :QM] = query       # query matches the target prefix
+    target[:, QM:] = rng.integers(0, 4, (B, TM - QM))
+    qlen = np.full(B, 255, np.int32)
+    tlen = np.full(B, 2047, np.int32)
+    h0 = np.full(B, 100, np.int32)
+    aw = np.full(B, 100, np.int32)
+    out = extend_pallas.extend_batch_core(
+        jnp.asarray(query), jnp.asarray(qlen), jnp.asarray(target),
+        jnp.asarray(tlen), jnp.asarray(aw), jnp.asarray(h0),
+        make_params(), blk_b=BLK, interpret=True)
+    refs = [ksw_extend_core(query[b, :255], target[b, :2047], MAT,
+                            6, 1, 6, 1, w=100, h0=100) for b in range(B)]
+    check_equal(out, refs, aw)
+
+
+@pytest.mark.parametrize("pen", [(6, 1, 6, 1), (5, 2, 7, 3), (2, 1, 2, 1)])
+def test_pallas_penalty_grid(pen):
+    o_del, e_del, o_ins, e_ins = pen
+    rng = np.random.default_rng(sum(pen))
+    B = 8
+    query, qlen, target, tlen, h0 = random_batch(
+        rng, B, qmax=QMAX - 8, tmax=TMAX - 8, qpad=QMAX, tpad=TMAX)
+    aw = rng.integers(1, 80, B).astype(np.int32)
+    params = make_params(o_del, e_del, o_ins, e_ins)
+    out = pallas_core(query, qlen, target, tlen, aw, h0, params)
+    refs = [ksw_extend_core(query[b, :qlen[b]], target[b, :tlen[b]], MAT,
+                            o_del, e_del, o_ins, e_ins,
+                            w=int(aw[b]), h0=int(h0[b])) for b in range(B)]
+    check_equal(out, refs, aw)
