@@ -40,7 +40,7 @@ def main():
         o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
         zdrop=0)
 
-    B, QMAX, TMAX = 8192, 128, 256
+    B, QMAX, TMAX = 16384, 128, 256
     QLEN, TLEN, W = 100, 200, 100
     rng = np.random.default_rng(0)
     # realistic tasks: target = mutated query + flanking tail
