@@ -99,6 +99,9 @@ def cmd_mem(args) -> int:
     opt = MemOptions(flag_M=args.M, flag_a=args.a, w=args.w,
                      min_seed_len=args.k, T=args.T)
     ref, fm = load_index(args.fasta)
+    from bwamem_tpu.index.occ_packed import pack_occ
+
+    po = pack_occ(fm)
     reads = read_fastq(args.reads)
     mates = read_fastq(args.mates) if args.mates else None
     out = sys.stdout
@@ -116,7 +119,7 @@ def cmd_mem(args) -> int:
                 [m.seq.astype(np.int64) for m in mchunk],
                 names=[r.name for r in chunk],
                 quals1=[r.qual for r in chunk],
-                quals2=[m.qual for m in mchunk])
+                quals2=[m.qual for m in mchunk], po=po)
             for rr in recs:
                 for rec in rr:
                     out.write(rec.line() + "\n")
@@ -135,7 +138,7 @@ def cmd_mem(args) -> int:
                     opt, ref, fm,
                     [r.seq.astype(np.int64) for r in chunk], backend_fn,
                     names=[r.name for r in chunk],
-                    quals=[r.qual for r in chunk])
+                    quals=[r.qual for r in chunk], po=po)
             for rr in all_recs:
                 for rec in rr:
                     out.write(rec.line() + "\n")

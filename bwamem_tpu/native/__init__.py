@@ -59,6 +59,7 @@ def get_lib():
             lib.bwamem_fastq_scan.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
+            _bind_smem(lib)
             _lib = lib
         except OSError:
             _lib = None
@@ -103,3 +104,48 @@ def fastq_scan(buf: bytes, max_rec: int = 1 << 22):
     if n < 0:
         return None
     return int(n), off[:n]
+
+
+def _bind_smem(lib):
+    lib.bwamem_collect_seeds.restype = ctypes.c_int64
+    lib.bwamem_collect_seeds.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+
+
+def collect_seeds_native(po, ssa, sa_intv, reads_mat, qlen,
+                         min_seed_len, split_len, split_width, max_occ):
+    """Native seeding over a (n_reads, L) u8 read matrix.
+    Returns (n, seeds (n,4) int64 rows {read_idx, rbeg, qbeg, len}) or
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    C = np.ascontiguousarray(po.C, np.int64)
+    occ = np.ascontiguousarray(po.occ_rows, np.int32)
+    pk = np.ascontiguousarray(po.pk_rows, np.uint32)
+    va = np.ascontiguousarray(po.va_rows, np.uint32)
+    ssa = np.ascontiguousarray(ssa, np.int64)
+    reads_mat = np.ascontiguousarray(reads_mat, np.uint8)
+    qlen = np.ascontiguousarray(qlen, np.int64)
+    cap = max(1 << 16, int(qlen.sum()) * 4)
+    out = np.empty((cap, 4), np.int64)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    n = lib.bwamem_collect_seeds(
+        C.ctypes.data_as(p64), int(po.primary), int(po.n_rows),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        va.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ssa.ctypes.data_as(p64), len(ssa), int(sa_intv),
+        reads_mat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        qlen.ctypes.data_as(p64), reads_mat.shape[0], reads_mat.shape[1],
+        int(min_seed_len), int(split_len), int(split_width), int(max_occ),
+        out.ctypes.data_as(p64), cap)
+    if n < 0:
+        return None
+    return int(n), out[:n]

@@ -229,9 +229,40 @@ def collect_seeds_batch(fm: FMIndex, po, reads: list[np.ndarray],
 
 def chain_reads_batch(fm: FMIndex, po, reads: list[np.ndarray],
                       opt: MemOptions) -> list[list[Chain]]:
-    """Batched chain_read: batched seeding, then per-read chaining."""
-    all_seeds = collect_seeds_batch(fm, po, reads, opt)
+    """Batched chain_read: native C++ seeding when available (50x the
+    numpy-dispatch-bound python batching), then per-read chaining."""
+    all_seeds = collect_seeds_native(fm, po, reads, opt)
+    if all_seeds is None:
+        all_seeds = collect_seeds_batch(fm, po, reads, opt)
     return [
         filter_chains(opt, chain_seeds(opt, fm.l_pac, s)) if s else []
         for s in all_seeds
     ]
+
+
+def collect_seeds_native(fm: FMIndex, po, reads: list[np.ndarray],
+                         opt: MemOptions) -> list[list[Seed]] | None:
+    """C++ seeding (csrc/smem.cpp): same output as collect_seeds_batch;
+    None if the native library is unavailable."""
+    from bwamem_tpu import native
+
+    if not reads:
+        return []
+    L = max(len(r) for r in reads)
+    mat = np.full((len(reads), L), 4, np.uint8)
+    qlen = np.zeros(len(reads), np.int64)
+    for b, r in enumerate(reads):
+        mat[b, :len(r)] = r
+        qlen[b] = len(r)
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    got = native.collect_seeds_native(
+        po, fm.ssa, fm.sa_intv, mat, qlen, opt.min_seed_len,
+        split_len, opt.split_width, opt.max_occ)
+    if got is None:
+        return None
+    n, rows = got
+    seeds: list[list[Seed]] = [[] for _ in reads]
+    for k in range(n):
+        ri, rbeg, qbeg, ln = rows[k]
+        seeds[ri].append(Seed(rbeg=int(rbeg), qbeg=int(qbeg), len=int(ln)))
+    return seeds

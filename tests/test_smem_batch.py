@@ -113,3 +113,28 @@ def test_chain_reads_batch_matches_scalar(world):
         w = [(c.pos, [(s.rbeg, s.qbeg, s.len) for s in c.seeds])
              for c in want]
         assert g == w, b
+
+
+def test_native_seeding_matches_python(world):
+    from bwamem_tpu.config import MemOptions
+    from bwamem_tpu.pipeline.chain import (
+        collect_seeds_batch,
+        collect_seeds_native,
+    )
+
+    fm, po, _ = world
+    opt = MemOptions()
+    rng = np.random.default_rng(808)
+    reads = make_reads(rng, fm, 16)
+    # include the repeat region (s>1 intervals + reseeding) and an N read
+    reads.append(fm.pac[2100:2200].astype(np.int64))
+    nr = fm.pac[300:400].astype(np.int64).copy()
+    nr[::17] = 4
+    reads.append(nr)
+    native = collect_seeds_native(fm, po, reads, opt)
+    assert native is not None, "native lib unavailable"
+    python = collect_seeds_batch(fm, po, reads, opt)
+    for b in range(len(reads)):
+        g = [(s.rbeg, s.qbeg, s.len) for s in native[b]]
+        w = [(s.rbeg, s.qbeg, s.len) for s in python[b]]
+        assert g == w, b
