@@ -110,6 +110,7 @@ def cmd_mem(args) -> int:
     n_rec = 0
     if mates is not None:
         assert len(reads) == len(mates), "read/mate count mismatch"
+        backend_fn = make_extend_backend(opt, args.backend)
         for i in range(0, len(reads), args.b):
             chunk = reads[i:i + args.b]
             mchunk = mates[i:i + args.b]
@@ -119,7 +120,8 @@ def cmd_mem(args) -> int:
                 [m.seq.astype(np.int64) for m in mchunk],
                 names=[r.name for r in chunk],
                 quals1=[r.qual for r in chunk],
-                quals2=[m.qual for m in mchunk], po=po)
+                quals2=[m.qual for m in mchunk], po=po,
+                extend_batch_fn=backend_fn)
             for rr in recs:
                 for rec in rr:
                     out.write(rec.line() + "\n")

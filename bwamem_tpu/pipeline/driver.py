@@ -176,25 +176,10 @@ def _resolve(opt: MemOptions, per_w, prev_score):
     return res
 
 
-def align_batch(opt: MemOptions, ref: Reference, fm, reads,
-                extend_batch_fn: Callable, names=None, quals=None,
-                po=None) -> list[list[SamRecord]]:
-    """Align a batch of reads with device-batched extension.
-
-    extend_batch_fn(query, qlen, target, tlen, aw, h0) -> ExtendOut —
-    typically a jitted partial of ops.extend_pallas.extend_batch_core
-    (or extend_jax.extend_batch_core as the interpreter twin).
-    `po` (a PackedOcc from index.occ_packed.pack_occ) switches seeding
-    to the batched SMEM/SA path — identical output, ~vectorized speed.
-    """
-    names = names or [f"read{i}" for i in range(len(reads))]
-    quals = quals or [None] * len(reads)
-    if po is not None:
-        from bwamem_tpu.pipeline.chain import chain_reads_batch
-
-        all_chains = chain_reads_batch(fm, po, reads, opt)
-    else:
-        all_chains = [chain_read(fm, r, opt) for r in reads]
+def extension_tables(opt: MemOptions, ref: Reference, reads, all_chains,
+                     extend_batch_fn: Callable):
+    """Plan + two batched device phases for a list of reads; returns
+    per-read result tables consumed by the chain2aln replay."""
     all_plans = [_plan_read(opt, ref, r, ch)
                  for r, ch in zip(reads, all_chains)]
 
@@ -218,16 +203,40 @@ def align_batch(opt: MemOptions, ref: Reference, fm, reads,
                 sc0 = s.len * opt.a
             right_jobs.append(((ri,) + key, q, t, sc0, pen))
     table.update(_device_extend(opt, right_jobs, extend_batch_fn))
+    tables = [dict() for _ in reads]
+    for k, v in table.items():
+        tables[k[0]][k[1:]] = v
+    return tables
 
-    # replay bwa's sequential control flow against the result table
+
+def table_extend_fn(local):
+    def extend_fn(key, query, target, w_attempt, h0, max_ins, max_del, o):
+        return local[key][w_attempt]
+    return extend_fn
+
+
+def align_batch(opt: MemOptions, ref: Reference, fm, reads,
+                extend_batch_fn: Callable, names=None, quals=None,
+                po=None) -> list[list[SamRecord]]:
+    """Align a batch of reads with device-batched extension.
+
+    extend_batch_fn(query, qlen, target, tlen, aw, h0) -> ExtendOut —
+    typically ops.extend_pallas.make_raw_backend(params) (or the
+    extend_jax twin).  `po` (index.occ_packed.pack_occ) switches
+    seeding to the native/batched path — identical output.
+    """
+    names = names or [f"read{i}" for i in range(len(reads))]
+    quals = quals or [None] * len(reads)
+    if po is not None:
+        from bwamem_tpu.pipeline.chain import chain_reads_batch
+
+        all_chains = chain_reads_batch(fm, po, reads, opt)
+    else:
+        all_chains = [chain_read(fm, r, opt) for r in reads]
+    tables = extension_tables(opt, ref, reads, all_chains, extend_batch_fn)
     out = []
     for ri, (read, chains) in enumerate(zip(reads, all_chains)):
-        local = {k[1:]: v for k, v in table.items() if k[0] == ri}
-
-        def extend_fn(key, query, target, w_attempt, h0, max_ins, max_del,
-                      o, _local=local):
-            return _local[key][w_attempt]
-
         out.append(A.align_read(opt, ref, fm, names[ri], read, quals[ri],
-                                extend_fn=extend_fn, chains=chains))
+                                extend_fn=table_extend_fn(tables[ri]),
+                                chains=chains))
     return out

@@ -237,11 +237,12 @@ def sam_pe(opt: MemOptions, ref: Reference, pes: list[PEStat], name: str,
 
 def align_pairs(opt: MemOptions, ref: Reference, fm, reads1, reads2,
                 names=None, quals1=None, quals2=None,
-                extend_fn=None, po=None):
+                extend_fn=None, po=None, extend_batch_fn=None):
     """Full paired-end batch alignment (mem_process_seqs PE path):
     compute regions for all ends, infer the insert-size distribution
     from the batch, then pair and emit.  `po` switches to batched
-    seeding (index.occ_packed.pack_occ)."""
+    seeding; `extend_batch_fn` routes the two ends' extensions through
+    the batched device driver (mate rescue stays host-side)."""
     from bwamem_tpu.pipeline import align as A
 
     n = len(reads1)
@@ -249,19 +250,33 @@ def align_pairs(opt: MemOptions, ref: Reference, fm, reads1, reads2,
     quals1 = quals1 or [None] * n
     quals2 = quals2 or [None] * n
     efn = extend_fn or A.default_extend_fn
+    all_reads = list(reads1) + list(reads2)
     if po is not None:
         from bwamem_tpu.pipeline.chain import chain_reads_batch
 
-        all_chains = chain_reads_batch(fm, po, list(reads1) + list(reads2),
-                                       opt)
-        ch1, ch2 = all_chains[:n], all_chains[n:]
+        all_chains = chain_reads_batch(fm, po, all_reads, opt)
     else:
-        ch1 = ch2 = [None] * n
+        all_chains = [None] * (2 * n)
+    if extend_batch_fn is not None:
+        from bwamem_tpu.pipeline.chain import chain_read
+        from bwamem_tpu.pipeline.driver import (
+            extension_tables,
+            table_extend_fn,
+        )
+
+        if all_chains[0] is None:
+            all_chains = [chain_read(fm, r, opt) for r in all_reads]
+        tables = extension_tables(opt, ref, all_reads, all_chains,
+                                  extend_batch_fn)
+        efns = [table_extend_fn(t) for t in tables]
+    else:
+        efns = [efn] * (2 * n)
+    ch1, ch2 = all_chains[:n], all_chains[n:]
     regs = []
     for i, (r1, r2) in enumerate(zip(reads1, reads2)):
-        regs.append((A.compute_regions(opt, ref, fm, r1, efn,
+        regs.append((A.compute_regions(opt, ref, fm, r1, efns[i],
                                        chains=ch1[i]),
-                     A.compute_regions(opt, ref, fm, r2, efn,
+                     A.compute_regions(opt, ref, fm, r2, efns[n + i],
                                        chains=ch2[i])))
     pes = infer_isize(opt, ref.l_pac,
                       [(r0[0] if r0 else None, r1[0] if r1 else None)

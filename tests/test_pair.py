@@ -159,3 +159,24 @@ def test_align_pairs_batched_seeding_identical(world):
     b = align_pairs(OPT, ref, fm, r1s, r2s, po=po)
     assert [[r.line() for r in x] for x in a] == \
         [[r.line() for r in x] for x in b]
+
+
+def test_align_pairs_device_extension_identical(world):
+    """PE path with the batched device extension (jax twin) must be
+    byte-identical to the scalar path."""
+    import jax.numpy as jnp
+    from bwamem_tpu.index.occ_packed import pack_occ
+    from bwamem_tpu.ops.extend_jax import ExtendParams, extend_batch_core
+
+    ref, fm, rng = world
+    po = pack_occ(fm)
+    params = ExtendParams(
+        mat_flat=jnp.asarray(OPT.mat.astype(np.int32).ravel()), m=5,
+        o_del=OPT.o_del, e_del=OPT.e_del, o_ins=OPT.o_ins,
+        e_ins=OPT.e_ins, zdrop=OPT.zdrop)
+    fn = lambda *a: extend_batch_core(*a, params)
+    r1s, r2s, _ = make_pairs(rng, ref, 10)
+    a = align_pairs(OPT, ref, fm, r1s, r2s)
+    b = align_pairs(OPT, ref, fm, r1s, r2s, po=po, extend_batch_fn=fn)
+    assert [[r.line() for r in x] for x in a] == \
+        [[r.line() for r in x] for x in b]
