@@ -104,7 +104,8 @@ def main():
         chunk = reads[i:i + args.batch]
         if args.paired:
             mchunk = mates[i:i + args.batch]
-            recs = align_pairs(opt, ref, fm, chunk, mchunk, po=po)
+            recs = align_pairs(opt, ref, fm, chunk, mchunk, po=po,
+                               extend_batch_fn=backend_fn)
         else:
             if backend_fn is None:
                 from bwamem_tpu.pipeline.align import align_read
