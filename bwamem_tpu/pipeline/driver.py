@@ -98,7 +98,9 @@ def _run_pass(opt, jobs, extend_batch_fn, k):
     order = sorted(range(B), key=lambda i: -len(jobs[i][2]))
     qmax = _bucket(max(max((len(j[1]) for j in jobs), default=1), 1))
     tmax = _bucket(max(max((len(j[2]) for j in jobs), default=1), 1))
-    Bp = max(512, round_up(B, 512))  # fixed-ish batch shape
+    # power-of-two batch buckets: job counts jitter chunk-to-chunk and
+    # any unseen shape costs minutes through the remote compile service
+    Bp = _bucket(max(B, 512), (512, 1024, 2048, 4096, 8192, 16384))
     query = np.zeros((Bp, qmax), np.int32)
     target = np.zeros((Bp, tmax), np.int32)
     qlen = np.zeros(Bp, np.int32)
