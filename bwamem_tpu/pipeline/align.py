@@ -25,6 +25,7 @@ from bwamem_tpu.pipeline.chain import Chain, Seed
 from bwamem_tpu.pipeline.cigar import (
     D_OP,
     I_OP,
+    M_OP,
     S_OP,
     H_OP,
     cigar_query_len,
@@ -328,19 +329,26 @@ def reg2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
     if rb >= ref.l_pac:
         qseg = qseg[::-1].copy()
         rseg = rseg[::-1].copy()
-    last_sc = -(1 << 30)
-    i = 0
-    while True:
-        w2 = min(w2, opt.w << 2)
-        score, cigar = ksw_global(qseg, rseg, opt.mat, opt.o_del, opt.e_del,
-                                  opt.o_ins, opt.e_ins, w2)
-        if score == last_sc or w2 == opt.w << 2:
-            break
-        last_sc = score
-        w2 <<= 1
-        i += 1
-        if not (i < 3 and score < ar.truesc - opt.a):
-            break
+    if qe - qb == re - rb and w2 == 0:
+        # bwa_gen_cigar2's no-gap fast path: straight match block,
+        # score summed directly from the matrix
+        mat = opt.mat
+        score = int(mat[rseg, qseg].sum())
+        cigar = [(M_OP, qe - qb)]
+    else:
+        last_sc = -(1 << 30)
+        i = 0
+        while True:
+            w2 = min(w2, opt.w << 2)
+            score, cigar = ksw_global(qseg, rseg, opt.mat, opt.o_del,
+                                      opt.e_del, opt.o_ins, opt.e_ins, w2)
+            if score == last_sc or w2 == opt.w << 2:
+                break
+            last_sc = score
+            w2 <<= 1
+            i += 1
+            if not (i < 3 and score < ar.truesc - opt.a):
+                break
     a.nm, a.md = compute_nm_md(qseg, rseg, cigar)
     pos2, is_rev = ref.depos(rb if rb < ref.l_pac else re - 1)
     a.is_rev = is_rev
