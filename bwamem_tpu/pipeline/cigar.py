@@ -36,8 +36,17 @@ def ksw_global(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
     (M preferred over E over F; gap-open preferred over gap-extend on
     ties) and the 6-bit traceback encoding — these determine CIGAR
     identity with bwa.  0-based i over target rows, j over query cols.
-    """
+
+    Wide bands dispatch to a row-vectorized fill (identical output; in
+    ksw_global the E/F recurrences open from M — the diagonal value —
+    so a row has no serial dependency once F is expressed as a running
+    prefix max)."""
     qlen, tlen = len(query), len(target)
+    if qlen > 0 and tlen > 0 and callable(_ksw_global_rows):
+        band = min(2 * max(w, abs(tlen - qlen)) + 1, qlen)
+        if tlen * band >= 4096:
+            return _ksw_global_rows(query, target, mat, o_del, e_del,
+                                    o_ins, e_ins, w)
     if qlen == 0:
         return (-(o_del + e_del * tlen) if tlen else 0,
                 [(D_OP, tlen)] if tlen else [])
@@ -89,6 +98,68 @@ def ksw_global(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
         eh_e[end] = NEG_INF
     score = int(eh_h[qlen])
     # traceback (ksw.c: which = z >> (which<<1) & 3)
+    cigar: list[tuple[int, int]] = []
+    i, k = tlen - 1, qlen - 1
+    which = 0
+    while i >= 0 and k >= 0:
+        which = (int(z[i][k]) >> (which << 1)) & 3
+        if which == 0:
+            _push(cigar, M_OP, 1)
+            i -= 1
+            k -= 1
+        elif which == 1:
+            _push(cigar, D_OP, 1)
+            i -= 1
+        else:
+            _push(cigar, I_OP, 1)
+            k -= 1
+    if i >= 0:
+        _push(cigar, D_OP, i + 1)
+    if k >= 0:
+        _push(cigar, I_OP, k + 1)
+    cigar.reverse()
+    return score, cigar
+
+
+def _ksw_global_rows(query, target, mat, o_del, e_del, o_ins, e_ins, w):
+    """Row-vectorized ksw_global2 fill + the shared traceback."""
+    qlen, tlen = len(query), len(target)
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    w = max(w, abs(tlen - qlen))
+    eh_h = np.full(qlen + 1, NEG_INF, np.int64)
+    eh_e = np.full(qlen + 1, NEG_INF, np.int64)
+    eh_h[0] = 0
+    jinit = np.arange(1, min(qlen, w) + 1)
+    eh_h[jinit] = -(o_ins + e_ins * jinit)
+    z = np.zeros((tlen, qlen + 1), np.uint8)
+    for i in range(tlen):
+        beg = max(i - w, 0)
+        end = min(i + w + 1, qlen)
+        h1_first = -(o_del + e_del * (i + 1)) if beg == 0 else NEG_INF
+        jj = np.arange(beg, end)
+        m = eh_h[beg:end] + mat[target[i], query[beg:end]].astype(np.int64)
+        e = eh_e[beg:end]
+        d = (m < e).astype(np.uint8)          # H direction: 0=M, 1=E
+        hme = np.maximum(m, e)
+        # F(j+1) = max(F(j) - e_ins, M(j) - oe_ins): prefix max over M
+        A = m + e_ins * jj
+        S = np.maximum.accumulate(A)
+        f = np.empty_like(m)
+        f[0] = NEG_INF
+        if len(jj) > 1:
+            f[1:] = S[:-1] - oe_ins - e_ins * (jj[1:] - 1)
+        d = np.where(f > hme, np.uint8(2), d)
+        h = np.maximum(hme, f)
+        # E' and continuation bits (strict >, gap-open wins ties)
+        d |= np.where(e - e_del > m - oe_del, 0x04, 0).astype(np.uint8)
+        eh_e[beg:end] = np.maximum(e - e_del, m - oe_del)
+        d |= np.where(f - e_ins > m - oe_ins, 0x20, 0).astype(np.uint8)
+        # writeback: eh_h[j] <- H(i, j-1), eh_h[end] <- H(i, end-1)
+        eh_h[beg] = h1_first
+        eh_h[beg + 1:end + 1] = h
+        eh_e[end] = NEG_INF
+        z[i, beg:end] = d
+    score = int(eh_h[qlen])
     cigar: list[tuple[int, int]] = []
     i, k = tlen - 1, qlen - 1
     which = 0
