@@ -51,3 +51,19 @@ def test_native_fastq_scan_matches_python(tmp_path):
         assert g.name == w.name
         assert np.array_equal(g.seq, w.seq)
         assert g.qual == w.qual
+
+
+def test_pack_tasks_soa():
+    from bwamem_tpu.pipeline.tasks import pack_tasks
+
+    qs = [np.array([0, 1, 2]), np.array([3] * 50), np.array([1, 2])]
+    ts = [np.array([0, 1, 2, 3]), np.array([1] * 200), np.array([2])]
+    b = pack_tasks(qs, ts, h0=[10, 20, 5], w=[100] * 3,
+                   max_ins=[50] * 3, max_del=[50] * 3)
+    assert b.query.shape[1] % 128 == 0
+    assert b.size % 8 == 0
+    assert b.n_real == 3
+    assert list(b.qlen[:3]) == [3, 50, 2]
+    # padding tasks are inert (qlen 0) and cells() counts band areas
+    assert all(b.qlen[3:] == 0)
+    assert b.cells() == 4 * 3 + 200 * 50 + 1 * 2
