@@ -144,15 +144,17 @@ def chain2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
                 continue
             if s.len - p.seedlen0 > 0.1 * l_query:
                 continue  # the seed might give a better alignment
+            # bwa clamps the window with the region's ACTUAL band p->w
+            # (2*opt.w after band doubling), not opt.w
             qd, rd = s.qbeg - p.qb, s.rbeg - p.rb
             mg = cal_max_gap(opt, min(qd, rd))
-            ww = min(mg, opt.w)
+            ww = min(mg, p.w)
             if qd - rd < ww and rd - qd < ww:
                 skip = True
                 break
             qd, rd = l_query - s.qend, p.re - s.rend
             mg = cal_max_gap(opt, min(qd, rd))
-            ww = min(mg, opt.w)
+            ww = min(mg, p.w)
             if qd - rd < ww and rd - qd < ww:
                 skip = True
                 break
@@ -231,6 +233,9 @@ def sort_and_dedup(opt: MemOptions, regions: list[Region]) -> list[Region]:
                     break
         if not dup:
             out.append(r)
+    # bwa's mem_sort_and_dedup ends with ks_introsort(mem_ars): score
+    # descending — a[0] must be the best hit (mem_pestat reads it)
+    out.sort(key=lambda r: (-r.score, r.rb, r.qb))
     return out
 
 

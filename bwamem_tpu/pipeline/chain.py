@@ -91,8 +91,11 @@ def _test_and_merge(opt: MemOptions, l_pac: int, c: Chain, s: Seed) -> bool:
     chain c; False requests a new chain."""
     last = c.seeds[-1]
     qend, rend = last.qend, last.rend
+    # bwa requires FULL containment (p->qbeg + p->len <= qend etc.): a
+    # colinear seed merely starting inside the chain must still be
+    # appended, not discarded
     if (s.rbeg >= c.seeds[0].rbeg and s.qbeg >= c.seeds[0].qbeg
-            and s.qbeg <= qend and s.rbeg <= rend):
+            and s.qend <= qend and s.rend <= rend):
         return True  # contained seed, do nothing
     # don't chain across the forward/reverse strand boundary
     if (c.seeds[0].rbeg < l_pac or last.rbeg < l_pac) and s.rbeg >= l_pac:

@@ -39,39 +39,50 @@ class PEStat:
 
 def _infer_dir(l_pac: int, b1: int, b2: int) -> tuple[int, int]:
     """bwa mem_infer_dir: orientation code and distance of two two-strand
-    coordinates."""
-    p2 = (l_pac << 1) - 1 - b2 if b2 >= l_pac else b2  # mate's forward coord
-    p1 = (l_pac << 1) - 1 - b1 if b1 >= l_pac else b1
+    coordinates.  b2 is projected onto read1's strand only when the
+    strands differ; dir = (r1==r2 ? 0 : 1) ^ (p2 > b1 ? 0 : 3), so a
+    both-forward pair with the mate upstream is RR (3), not FF."""
     r1 = 1 if b1 >= l_pac else 0
     r2 = 1 if b2 >= l_pac else 0
-    dist = abs(p1 - p2)
-    if r1 == r2:
-        d = 0 if r1 == 0 else 3          # FF / RR
-    else:
-        d = 1 if (r1 == 0) == (p1 < p2) else 2  # FR / RF
-    return d, dist
+    p2 = b2 if r1 == r2 else (l_pac << 1) - 1 - b2
+    dist = p2 - b1 if p2 > b1 else b1 - p2
+    return (0 if r1 == r2 else 1) ^ (0 if p2 > b1 else 3), dist
+
+
+MIN_RATIO = 0.8
+
+
+def cal_sub(opt: MemOptions, regs: list[Region]) -> int:
+    """bwa cal_sub: score of the first region significantly overlapping
+    the best region on the query (regs must be score-sorted), else
+    min_seed_len * a."""
+    for j in range(1, len(regs)):
+        b_max = max(regs[j].qb, regs[0].qb)
+        e_min = min(regs[j].qe, regs[0].qe)
+        if e_min > b_max:
+            min_l = min(regs[j].qe - regs[j].qb, regs[0].qe - regs[0].qb)
+            if e_min - b_max >= min_l * opt.mask_level:
+                return regs[j].score
+    return opt.min_seed_len * opt.a
 
 
 def infer_isize(opt: MemOptions, l_pac: int,
-                pairs: list[tuple[Region | None, Region | None]],
+                pairs: list[tuple[list[Region], list[Region]]],
                 ) -> list[PEStat]:
     """mem_pestat: collect insert sizes of unique-best pairs per
-    orientation, trim outliers by quartiles, fit mean/std."""
+    orientation, trim outliers by quartiles, fit mean/std.  Each element
+    of `pairs` is the two ends' full score-sorted region lists (a[0] is
+    the best hit; cal_sub scans the rest for the repeat filter)."""
     isize: list[list[int]] = [[], [], [], []]
     for r1, r2 in pairs:
-        if r1 is None or r2 is None:
+        if not r1 or not r2:
             continue
-        # bwa uses pairs where both ends' best hits are confident
-        # (score sufficiently above sub): approximate with sub==0 or
-        # score - sub >= min_seed_len * a (the mem_pestat "mapq>0" proxy)
-        def ok(r):
-            sub = r.sub if r.sub else 0
-            return r.score >= opt.min_seed_len * opt.a and (
-                sub == 0 or r.score - sub >= opt.min_seed_len * opt.a // 2)
-        if not (ok(r1) and ok(r2)):
+        if cal_sub(opt, r1) > MIN_RATIO * r1[0].score:
             continue
-        d, dist = _infer_dir(l_pac, r1.rb, r2.rb)
-        if dist <= opt.max_ins:
+        if cal_sub(opt, r2) > MIN_RATIO * r2[0].score:
+            continue
+        d, dist = _infer_dir(l_pac, r1[0].rb, r2[0].rb)
+        if 0 < dist <= opt.max_ins:
             isize[d].append(dist)
     stats = []
     for d in range(4):
@@ -80,9 +91,9 @@ def infer_isize(opt: MemOptions, l_pac: int,
         if len(v) < MIN_DIR_CNT:
             stats.append(st)
             continue
-        p25 = v[len(v) // 4]
-        p50 = v[len(v) // 2]
-        p75 = v[(3 * len(v)) // 4]
+        p25 = v[int(0.25 * len(v) + 0.499)]
+        p50 = v[int(0.50 * len(v) + 0.499)]
+        p75 = v[int(0.75 * len(v) + 0.499)]
         st.low = int(p25 - OUTLIER_BOUND * (p75 - p25) + 0.499)
         st.high = int(p75 + OUTLIER_BOUND * (p75 - p25) + 0.499)
         st.low = max(st.low, 1)
@@ -117,9 +128,7 @@ def mem_pair(opt: MemOptions, l_pac: int, pes: list[PEStat],
     paired score (sum + the Gaussian insert-size bonus), sub the
     second-best pair score, and (i1, i2) the winning region indices.
     """
-    best = (-1, None)
-    second = -1
-    n_sub = 0
+    cands: list[tuple[int, int, int]] = []
     for i1, r1 in enumerate(regs[0]):
         for i2, r2 in enumerate(regs[1]):
             d, dist = _infer_dir(l_pac, r1.rb, r2.rb)
@@ -131,14 +140,17 @@ def mem_pair(opt: MemOptions, l_pac: int, pes: list[PEStat],
                  + int(0.721 * math.log(
                      2.0 * math.erfc(abs(ns) * (1.0 / math.sqrt(2.0))))
                      * opt.a + 0.499))
-            if q > best[0]:
-                second = best[0]
-                best = (q, (i1, i2))
-            elif q > second:
-                second = q
-            if best[0] >= 0 and q >= best[0] - (opt.a + opt.b):
-                n_sub += 1
-    return best[0], second, max(n_sub - 1, 0), 0, best[1]
+            cands.append((max(q, 0), i1, i2))
+    if not cands:
+        return 0, 0, 0, 0, None
+    # bwa counts n_sub against the FINAL best within
+    # max(a+b, o_del+e_del, o_ins+e_ins), and sub defaults to 0
+    cands.sort()
+    best = cands[-1]
+    second = cands[-2][0] if len(cands) > 1 else 0
+    tmp = max(opt.a + opt.b, opt.o_del + opt.e_del, opt.o_ins + opt.e_ins)
+    n_sub = sum(1 for q, _, _ in cands[:-1] if q >= best[0] - tmp)
+    return best[0], second, n_sub, len(cands), (best[1], best[2])
 
 
 def raw_mapq(diff: int, a: int) -> int:
@@ -278,9 +290,7 @@ def align_pairs(opt: MemOptions, ref: Reference, fm, reads1, reads2,
                                        chains=ch1[i]),
                      A.compute_regions(opt, ref, fm, r2, efns[n + i],
                                        chains=ch2[i])))
-    pes = infer_isize(opt, ref.l_pac,
-                      [(r0[0] if r0 else None, r1[0] if r1 else None)
-                       for r0, r1 in regs])
+    pes = infer_isize(opt, ref.l_pac, regs)
     out = []
     for i in range(n):
         if opt.max_matesw > 0:
