@@ -60,6 +60,7 @@ def get_lib():
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
             _bind_smem(lib)
+            _bind_ksw(lib)
             _lib = lib
         except OSError:
             _lib = None
@@ -104,6 +105,71 @@ def fastq_scan(buf: bytes, max_rec: int = 1 << 22):
     if n < 0:
         return None
     return int(n), off[:n]
+
+
+def _bind_ksw(lib):
+    p8 = ctypes.POINTER(ctypes.c_uint8)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    lib.bwamem_ksw_global.restype = ctypes.c_int64
+    lib.bwamem_ksw_global.argtypes = [
+        p8, ctypes.c_int64, p8, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, p32, ctypes.c_int64, p64]
+    lib.bwamem_cigar_nm_md.restype = ctypes.c_int64
+    lib.bwamem_cigar_nm_md.argtypes = [
+        p8, p8, p32, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, p64]
+
+
+def ksw_global_native(query: np.ndarray, target: np.ndarray,
+                      mat: np.ndarray, o_del: int, e_del: int, o_ins: int,
+                      e_ins: int, w: int):
+    """Native banded global alignment; returns (score, cigar) with the
+    exact cigar.py ksw_global semantics, or None if unavailable.
+    Caller guarantees len(query) > 0 and len(target) > 0."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(query, np.uint8)
+    t = np.ascontiguousarray(target, np.uint8)
+    m8 = np.ascontiguousarray(mat, np.int8)
+    cap = len(q) + len(t) + 2
+    cig = np.empty(2 * cap, np.int32)
+    score = ctypes.c_int64()
+    n = lib.bwamem_ksw_global(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(q),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(t),
+        m8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), m8.shape[0],
+        o_del, e_del, o_ins, e_ins, int(w),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+        ctypes.byref(score))
+    if n < 0:
+        return None
+    pairs = cig[:2 * n].reshape(n, 2)
+    return int(score.value), [(int(op), int(ln)) for op, ln in pairs]
+
+
+def cigar_nm_md_native(query: np.ndarray, rseq: np.ndarray, cigar):
+    """Native NM/MD computation; returns (nm, md) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(query, np.uint8)
+    r = np.ascontiguousarray(rseq, np.uint8)
+    flat = np.asarray([x for p in cigar for x in p], np.int32)
+    cap = 16 + 5 * (len(q) + len(r))
+    buf = ctypes.create_string_buffer(cap)
+    nm = ctypes.c_int64()
+    ln = lib.bwamem_cigar_nm_md(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(cigar),
+        buf, cap, ctypes.byref(nm))
+    if ln < 0:
+        return None
+    return int(nm.value), buf.raw[:ln].decode("ascii")
 
 
 def _bind_smem(lib):

@@ -29,6 +29,7 @@ NEG_INF = -(1 << 28)
 
 def ksw_global(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
                o_del: int, e_del: int, o_ins: int, e_ins: int, w: int,
+               *, use_native: bool = True,
                ) -> tuple[int, list[tuple[int, int]]]:
     """Banded global alignment. Returns (score, cigar as [(op, len), ...]).
 
@@ -42,7 +43,14 @@ def ksw_global(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
     so a row has no serial dependency once F is expressed as a running
     prefix max)."""
     qlen, tlen = len(query), len(target)
-    if qlen > 0 and tlen > 0 and callable(_ksw_global_rows):
+    if qlen > 0 and tlen > 0:
+        if use_native:
+            from bwamem_tpu.native import ksw_global_native
+
+            got = ksw_global_native(query, target, mat, o_del, e_del,
+                                    o_ins, e_ins, w)
+            if got is not None:
+                return got
         band = min(2 * max(w, abs(tlen - qlen)) + 1, qlen)
         if tlen * band >= 4096:
             return _ksw_global_rows(query, target, mat, o_del, e_del,
@@ -202,10 +210,16 @@ def cigar_ref_len(cigar) -> int:
     return sum(n for op, n in cigar if op in (M_OP, D_OP))
 
 
-def compute_nm_md(query: np.ndarray, rseq: np.ndarray, cigar,
-                  ) -> tuple[int, str]:
+def compute_nm_md(query: np.ndarray, rseq: np.ndarray, cigar, *,
+                  use_native: bool = True) -> tuple[int, str]:
     """NM (edit distance) and MD tag from an alignment (bwa_gen_cigar2's
     on-the-fly computation). query/rseq are the aligned segments only."""
+    if use_native:
+        from bwamem_tpu.native import cigar_nm_md_native
+
+        got = cigar_nm_md_native(query, rseq, cigar)
+        if got is not None:
+            return got
     nm = 0
     md = []
     qi = ri = 0
