@@ -33,6 +33,11 @@ def main():
                     choices=["pallas", "jax", "scalar"])
     ap.add_argument("--paired", action="store_true")
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--host", default="auto",
+                    choices=["auto", "native", "python"])
+    ap.add_argument("-t", "--threads", type=int, default=1)
+    ap.add_argument("--overlap", action="store_true",
+                    help="double-buffered chunk pipeline (2 handles)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -74,7 +79,13 @@ def main():
             m = pac[pos + isize - args.read_len:pos + isize]
             mates.append(revcomp_read(m.astype(np.int64)))
 
+    from bwamem_tpu.pipeline import native_driver
+
+    use_native = (args.host != "python" and args.backend != "scalar"
+                  and native_driver.available())
     backend_fn = None
+    raw_t_fn = None
+    pipes = []
     if args.backend != "scalar":
         import jax
 
@@ -89,7 +100,18 @@ def main():
             mat_flat=jnp.asarray(opt.mat.astype(np.int32).ravel()), m=5,
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, zdrop=opt.zdrop)
-        if args.backend == "jax":
+        if use_native:
+            if args.backend == "jax":
+                raw_t_fn = native_driver.make_jax_raw_t_backend(params)
+            else:
+                raw_t_fn = native_driver.make_raw_t_backend(params)
+            pipes = [native_driver.NativePipeline(
+                opt, ref, fm, po, nthreads=args.threads)
+                for _ in range(2 if args.overlap else 1)]
+            print(f"[host] native pipeline, {args.threads} thread(s)"
+                  f"{', overlapped' if args.overlap else ''}",
+                  file=sys.stderr)
+        elif args.backend == "jax":
             from bwamem_tpu.ops.extend_jax import extend_batch_core
             backend_fn = jax.jit(lambda *a: extend_batch_core(*a, params))
         else:
@@ -99,22 +121,51 @@ def main():
     t0 = time.time()
     n_rec = 0
     chunk_times = []
-    for i in range(0, len(reads), args.batch):
-        tc = time.time()
-        chunk = reads[i:i + args.batch]
-        if args.paired:
-            mchunk = mates[i:i + args.batch]
-            recs = align_pairs(opt, ref, fm, chunk, mchunk, po=po,
-                               extend_batch_fn=backend_fn)
-        else:
-            if backend_fn is None:
+    if use_native and not args.paired and args.overlap:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs: deque = deque()
+            tc = time.time()
+            for ci, i in enumerate(range(0, len(reads), args.batch)):
+                chunk = reads[i:i + args.batch]
+                futs.append((len(chunk), ex.submit(
+                    pipes[ci % 2].align_chunk, chunk, raw_t_fn)))
+                while len(futs) >= 2:
+                    nc, f = futs.popleft()
+                    n_rec += sum(len(x) for x in f.result())
+                    chunk_times.append((nc, time.time() - tc))
+                    tc = time.time()
+            while futs:
+                nc, f = futs.popleft()
+                n_rec += sum(len(x) for x in f.result())
+                chunk_times.append((nc, time.time() - tc))
+                tc = time.time()
+    else:
+        for i in range(0, len(reads), args.batch):
+            tc = time.time()
+            chunk = reads[i:i + args.batch]
+            if args.paired:
+                if use_native:
+                    recs = align_pairs(opt, ref, fm, chunk,
+                                       mates[i:i + args.batch], po=po,
+                                       native_pipe=pipes[0],
+                                       raw_t_fn=raw_t_fn)
+                else:
+                    recs = align_pairs(opt, ref, fm, chunk,
+                                       mates[i:i + args.batch], po=po,
+                                       extend_batch_fn=backend_fn)
+            elif use_native:
+                recs = pipes[0].align_chunk(chunk, raw_t_fn)
+            elif backend_fn is None:
                 from bwamem_tpu.pipeline.align import align_read
                 recs = [align_read(opt, ref, fm, f"r{i+j}", r)
                         for j, r in enumerate(chunk)]
             else:
                 recs = align_batch(opt, ref, fm, chunk, backend_fn, po=po)
-        n_rec += sum(len(x) for x in recs)
-        chunk_times.append((len(chunk), time.time() - tc))
+            n_rec += sum(len(x) for x in recs)
+            chunk_times.append((len(chunk), time.time() - tc))
     dt = time.time() - t0
     n = len(reads) * (2 if args.paired else 1)
     mult = 2 if args.paired else 1

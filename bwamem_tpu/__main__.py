@@ -60,6 +60,17 @@ def load_index(fasta: str):
     return Reference(contigs=contigs, pac=z["pac"]), fm
 
 
+def _extend_params(opt):
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.extend_jax import ExtendParams
+
+    return ExtendParams(
+        mat_flat=jnp.asarray(opt.mat.astype(np.int32).ravel()), m=5,
+        o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+        e_ins=opt.e_ins, zdrop=opt.zdrop)
+
+
 def make_extend_backend(opt, backend: str):
     """Returns extend_batch_fn for the driver, or None for scalar."""
     if backend == "scalar":
@@ -69,14 +80,7 @@ def make_extend_backend(opt, backend: str):
     from bwamem_tpu.utils.jaxcfg import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax.numpy as jnp
-
-    from bwamem_tpu.ops.extend_jax import ExtendParams
-
-    params = ExtendParams(
-        mat_flat=jnp.asarray(opt.mat.astype(np.int32).ravel()), m=5,
-        o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
-        e_ins=opt.e_ins, zdrop=opt.zdrop)
+    params = _extend_params(opt)
     if backend == "jax":
         from bwamem_tpu.ops.extend_jax import extend_batch_core
 
@@ -88,11 +92,25 @@ def make_extend_backend(opt, backend: str):
     return extend_pallas.make_raw_backend(params)
 
 
+def make_raw_t_backend(opt, backend: str):
+    """Transposed-layout device backend for the native host pipeline."""
+    from bwamem_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
+    from bwamem_tpu.pipeline import native_driver
+
+    params = _extend_params(opt)
+    if backend == "jax":
+        return native_driver.make_jax_raw_t_backend(params)
+    return native_driver.make_raw_t_backend(params)
+
+
 def cmd_mem(args) -> int:
     from bwamem_tpu.config import MemOptions
     from bwamem_tpu.io.fastq import read_fastq
     from bwamem_tpu.io.sam import sam_header
     from bwamem_tpu.pipeline import align as A
+    from bwamem_tpu.pipeline import native_driver
     from bwamem_tpu.pipeline.driver import align_batch
     from bwamem_tpu.pipeline.pair import align_pairs
 
@@ -108,9 +126,21 @@ def cmd_mem(args) -> int:
     out.write(sam_header(ref.contigs, rg_line=args.R,
                          pg_cl=" ".join(sys.argv)))
     n_rec = 0
+    use_native = (args.host != "python" and args.backend != "scalar"
+                  and native_driver.available())
+    if args.host == "native" and not use_native:
+        sys.stderr.write("[mem] --host native unavailable; "
+                         "falling back to python host\n")
     if mates is not None:
         assert len(reads) == len(mates), "read/mate count mismatch"
-        backend_fn = make_extend_backend(opt, args.backend)
+        if use_native:
+            raw_t_fn = make_raw_t_backend(opt, args.backend)
+            pipe = native_driver.NativePipeline(opt, ref, fm, po,
+                                                nthreads=args.t)
+            backend_fn, kw = None, dict(native_pipe=pipe,
+                                        raw_t_fn=raw_t_fn)
+        else:
+            backend_fn, kw = make_extend_backend(opt, args.backend), {}
         for i in range(0, len(reads), args.b):
             chunk = reads[i:i + args.b]
             mchunk = mates[i:i + args.b]
@@ -121,11 +151,43 @@ def cmd_mem(args) -> int:
                 names=[r.name for r in chunk],
                 quals1=[r.qual for r in chunk],
                 quals2=[m.qual for m in mchunk], po=po,
-                extend_batch_fn=backend_fn)
+                extend_batch_fn=backend_fn, **kw)
             for rr in recs:
                 for rec in rr:
                     out.write(rec.line() + "\n")
                     n_rec += 1
+    elif use_native:
+        # TBB-style double buffering: two pipeline handles, chunk n+1's
+        # host work (C++, GIL-free) overlaps chunk n's device phases
+        # (/root/reference/tbb.v:84-118 HOLD-while-fetch)
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        raw_t_fn = make_raw_t_backend(opt, args.backend)
+        pipes = [native_driver.NativePipeline(opt, ref, fm, po,
+                                              nthreads=args.t)
+                 for _ in range(2)]
+
+        def run_chunk(ci, chunk):
+            return pipes[ci % 2].align_chunk(
+                [r.seq.astype(np.int64) for r in chunk], raw_t_fn,
+                names=[r.name for r in chunk],
+                quals=[r.qual for r in chunk])
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs: deque = deque()
+            for ci, i in enumerate(range(0, len(reads), args.b)):
+                futs.append(ex.submit(run_chunk, ci, reads[i:i + args.b]))
+                while len(futs) >= 2:
+                    for rr in futs.popleft().result():
+                        for rec in rr:
+                            out.write(rec.line() + "\n")
+                            n_rec += 1
+            while futs:
+                for rr in futs.popleft().result():
+                    for rec in rr:
+                        out.write(rec.line() + "\n")
+                        n_rec += 1
     else:
         backend_fn = make_extend_backend(opt, args.backend)
         for i in range(0, len(reads), args.b):
@@ -162,7 +224,11 @@ def main(argv=None) -> int:
     mem.add_argument("fasta")
     mem.add_argument("reads")
     mem.add_argument("mates", nargs="?", default=None)
-    mem.add_argument("-t", type=int, default=1, help="threads (reserved)")
+    mem.add_argument("-t", type=int, default=1,
+                     help="host threads (native pipeline stages)")
+    mem.add_argument("--host", default="auto",
+                     choices=["auto", "native", "python"],
+                     help="host pipeline implementation")
     mem.add_argument("-b", type=int, default=512, help="batch size")
     mem.add_argument("-k", type=int, default=19, help="min seed length")
     mem.add_argument("-w", type=int, default=100, help="band width")

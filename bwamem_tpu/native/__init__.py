@@ -61,6 +61,7 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int64)]
             _bind_smem(lib)
             _bind_ksw(lib)
+            _bind_mempipe(lib)
             _lib = lib
         except OSError:
             _lib = None
@@ -170,6 +171,46 @@ def cigar_nm_md_native(query: np.ndarray, rseq: np.ndarray, cigar):
     if ln < 0:
         return None
     return int(nm.value), buf.raw[:ln].decode("ascii")
+
+
+def _bind_mempipe(lib):
+    p8 = ctypes.POINTER(ctypes.c_uint8)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    i64 = ctypes.c_int64
+    lib.mp_new.restype = ctypes.c_void_p
+    lib.mp_new.argtypes = [
+        p64, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int8), p8, i64, p64, p64, i64,
+        ctypes.c_char_p, p64, i64, i64, p32, pu32, pu32, p64, i64, i64]
+    lib.mp_free.restype = None
+    lib.mp_free.argtypes = [ctypes.c_void_p]
+    lib.mp_chunk_start.restype = i64
+    lib.mp_chunk_start.argtypes = [ctypes.c_void_p, p8, p64, i64, i64, i64]
+    lib.mp_task_count.restype = i64
+    lib.mp_task_count.argtypes = [ctypes.c_void_p]
+    lib.mp_task_dims.restype = None
+    lib.mp_task_dims.argtypes = [ctypes.c_void_p, p64, p64]
+    lib.mp_fill_tasks.restype = None
+    lib.mp_fill_tasks.argtypes = [ctypes.c_void_p, i64, p32, i64, p32,
+                                  i64, p32, i64]
+    lib.mp_pass_done.restype = i64
+    lib.mp_pass_done.argtypes = [ctypes.c_void_p, i64, p32, i64]
+    lib.mp_prepare_right.restype = i64
+    lib.mp_prepare_right.argtypes = [ctypes.c_void_p]
+    lib.mp_finalize.restype = i64
+    lib.mp_finalize.argtypes = [ctypes.c_void_p, i64]
+    lib.mp_blob_size.restype = i64
+    lib.mp_blob_size.argtypes = [ctypes.c_void_p]
+    lib.mp_get_records.restype = None
+    lib.mp_get_records.argtypes = [ctypes.c_void_p, p64, ctypes.c_char_p]
+    lib.mp_region_count.restype = i64
+    lib.mp_region_count.argtypes = [ctypes.c_void_p, i64]
+    lib.mp_export_regions.restype = None
+    lib.mp_export_regions.argtypes = [ctypes.c_void_p, p64]
+    lib.mp_chunk_end.restype = None
+    lib.mp_chunk_end.argtypes = [ctypes.c_void_p]
 
 
 def _bind_smem(lib):

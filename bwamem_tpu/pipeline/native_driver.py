@@ -1,0 +1,282 @@
+"""Native host pipeline driver — chaining/planning/replay/SAM in C++
+(csrc/mempipe.cpp), device extension between phases.
+
+This is the production fast path: the role split matches the reference
+system exactly — the host (C threads) does seeding, chaining and SAM
+emission while the accelerator runs banded extension
+(/root/reference/README.md:28 `-t $NTHREAD`; batch_manager.v keeps the
+PE arrays fed).  The Python layer only owns FASTQ I/O, the jitted
+Pallas kernel invocation, and final SAM-line assembly; everything else
+crosses into libbwamem.so once per chunk phase.
+
+Output parity: tests/test_native_pipe.py pins the SAM lines of this
+path byte-identical to pipeline/driver.align_batch (the tested Python
+oracle)."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from bwamem_tpu.config import MemOptions
+from bwamem_tpu.io.fasta import Reference, decode_seq
+from bwamem_tpu.io.sam import SamRecord
+from bwamem_tpu.pipeline.align import Region, revcomp_read
+from bwamem_tpu.pipeline.driver import _bucket
+from bwamem_tpu import native
+
+_P8 = ctypes.POINTER(ctypes.c_uint8)
+_P32 = ctypes.POINTER(ctypes.c_int32)
+_PU32 = ctypes.POINTER(ctypes.c_uint32)
+_P64 = ctypes.POINTER(ctypes.c_int64)
+_PD = ctypes.POINTER(ctypes.c_double)
+_PI8 = ctypes.POINTER(ctypes.c_int8)
+
+
+def available() -> bool:
+    return native.get_lib() is not None
+
+
+class NativePipeline:
+    """One instance per (options, reference, index); align_chunk is the
+    per-batch entry point."""
+
+    def __init__(self, opt: MemOptions, ref: Reference, fm, po,
+                 nthreads: int = 1, blk_l: int = 512):
+        lib = native.get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self.lib = lib
+        self.opt = opt
+        self.ref = ref
+        self.nthreads = max(int(nthreads), 1)
+        self.blk_l = blk_l
+        # keep every array alive for the lifetime of the handle
+        self._opt_i = np.array([
+            opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            opt.w, opt.zdrop, opt.pen_clip5, opt.pen_clip3,
+            opt.min_seed_len, opt.split_width, opt.max_occ,
+            opt.max_chain_gap, opt.T, int(opt.flag_M), int(opt.flag_a), 5,
+        ], np.int64)
+        self._opt_d = np.array([
+            opt.split_factor, opt.drop_ratio, opt.mask_level,
+            opt.mapq_coef_len, opt.mapq_coef_fac,
+        ], np.float64)
+        self._mat = np.ascontiguousarray(opt.mat, np.int8)
+        self._pac = np.ascontiguousarray(ref.pac, np.uint8)
+        self._off = np.array([c.offset for c in ref.contigs], np.int64)
+        self._len = np.array([c.length for c in ref.contigs], np.int64)
+        self._names = b"".join(c.name.encode() + b"\0" for c in ref.contigs)
+        self._C = np.ascontiguousarray(po.C, np.int64)
+        self._occ = np.ascontiguousarray(po.occ_rows, np.int32)
+        self._pk = np.ascontiguousarray(po.pk_rows, np.uint32)
+        self._va = np.ascontiguousarray(po.va_rows, np.uint32)
+        self._ssa = np.ascontiguousarray(fm.ssa, np.int64)
+        self.h = lib.mp_new(
+            self._opt_i.ctypes.data_as(_P64),
+            self._opt_d.ctypes.data_as(_PD),
+            self._mat.ctypes.data_as(_PI8),
+            self._pac.ctypes.data_as(_P8), len(self._pac),
+            self._off.ctypes.data_as(_P64), self._len.ctypes.data_as(_P64),
+            len(ref.contigs), self._names,
+            self._C.ctypes.data_as(_P64), int(po.primary), int(po.n_rows),
+            self._occ.ctypes.data_as(_P32), self._pk.ctypes.data_as(_PU32),
+            self._va.ctypes.data_as(_PU32), self._ssa.ctypes.data_as(_P64),
+            len(self._ssa), int(fm.sa_intv))
+
+    def __del__(self):
+        if getattr(self, "h", None):
+            self.lib.mp_free(self.h)
+            self.h = None
+
+    # -- device phase loop ------------------------------------------------
+
+    def _chunk_start(self, reads):
+        n = len(reads)
+        L = max((len(r) for r in reads), default=1)
+        mat = np.full((n, L), 4, np.uint8)
+        qlen = np.zeros(n, np.int64)
+        for i, r in enumerate(reads):
+            mat[i, :len(r)] = r
+            qlen[i] = len(r)
+        self._reads_mat = mat  # keep alive: C++ keeps pointers
+        self._qlen = qlen
+        rc = self.lib.mp_chunk_start(
+            self.h, mat.ctypes.data_as(_P8), qlen.ctypes.data_as(_P64),
+            n, L, self.nthreads)
+        if rc != 0:
+            raise RuntimeError("mp_chunk_start failed")
+
+    def _run_phase(self, raw_t_fn):
+        """Pass k=0 over the current task list, then the compacted k=1
+        retry (the FPGA's internal band-doubling re-run,
+        sw_extend.v:1963, re-batched)."""
+        for k in (0, 1):
+            B = self.lib.mp_task_count(self.h)
+            if B == 0:
+                return
+            qmax_r = ctypes.c_int64()
+            tmax_r = ctypes.c_int64()
+            self.lib.mp_task_dims(self.h, ctypes.byref(qmax_r),
+                                  ctypes.byref(tmax_r))
+            qmax = _bucket(max(int(qmax_r.value), 1))
+            tmax = _bucket(max(int(tmax_r.value), 1))
+            Bp = _bucket(max(B, self.blk_l),
+                         (512, 1024, 2048, 4096, 8192, 16384))
+            query_t = np.zeros((qmax, Bp), np.int32)
+            target_t = np.zeros((tmax, Bp), np.int32)
+            scal_t = np.zeros((8, Bp), np.int32)
+            self.lib.mp_fill_tasks(
+                self.h, k, query_t.ctypes.data_as(_P32), qmax,
+                target_t.ctypes.data_as(_P32), tmax,
+                scal_t.ctypes.data_as(_P32), Bp)
+            grid = Bp // self.blk_l
+            tl = scal_t[1].reshape(grid, self.blk_l)
+            vq = scal_t[0].reshape(grid, self.blk_l)
+            tmaxb = np.max(np.where(vq > 0, tl, 0), axis=1).astype(np.int32)
+            out = np.ascontiguousarray(
+                np.asarray(raw_t_fn(query_t, target_t, scal_t, tmaxb)),
+                np.int32)
+            nretry = self.lib.mp_pass_done(
+                self.h, k, out.ctypes.data_as(_P32), Bp)
+            if nretry == 0:
+                return
+
+    def _extend(self, reads, raw_t_fn):
+        self._chunk_start(reads)
+        self._run_phase(raw_t_fn)
+        self.lib.mp_prepare_right(self.h)
+        self._run_phase(raw_t_fn)
+
+    # -- single-end -------------------------------------------------------
+
+    def align_chunk(self, reads, raw_t_fn, names=None, quals=None,
+                    ) -> list[list[SamRecord]]:
+        """Full single-end alignment of a chunk; returns per-read SAM
+        records identical to driver.align_batch."""
+        names = names or [f"read{i}" for i in range(len(reads))]
+        quals = quals or [None] * len(reads)
+        self._extend(reads, raw_t_fn)
+        nrec = self.lib.mp_finalize(self.h, self.nthreads)
+        fields = np.zeros((max(nrec, 1), 12), np.int64)
+        blob = ctypes.create_string_buffer(
+            max(int(self.lib.mp_blob_size(self.h)), 1))
+        self.lib.mp_get_records(self.h, fields.ctypes.data_as(_P64), blob)
+        out: list[list[SamRecord]] = [[] for _ in reads]
+        boff = 0
+        raw = blob.raw
+        for i in range(nrec):
+            (ri, flag, rid, pos, mapq, nm, score, sub, is_rev,
+             ncig, nmd, nxa) = (int(x) for x in fields[i])
+            cigar = raw[boff:boff + ncig].decode("ascii")
+            boff += ncig + 1
+            md = raw[boff:boff + nmd].decode("ascii")
+            boff += nmd + 1
+            xa = raw[boff:boff + nxa].decode("ascii")
+            boff += nxa + 1
+            out[ri].append(self._assemble(
+                names[ri], reads[ri], quals[ri], flag, rid, pos, mapq,
+                cigar, nm, md, score, sub, bool(is_rev), xa))
+        self.lib.mp_chunk_end(self.h)
+        return out
+
+    def _assemble(self, name, read, qual, flag, rid, pos, mapq, cigar,
+                  nm, md, score, sub, is_rev, xa) -> SamRecord:
+        """aln2sam's seq/qual/tag assembly (the only per-record Python)."""
+        if rid < 0:
+            return SamRecord(qname=name, flag=flag, rname="*", pos=0,
+                             mapq=0, cigar="*", seq=decode_seq(read),
+                             qual=qual or "*")
+        if is_rev:
+            seq = decode_seq(revcomp_read(read))
+            oq = qual[::-1] if qual else None
+        else:
+            seq = decode_seq(read)
+            oq = qual
+        if flag & 0x800:
+            # hard-clip supplementary: S -> H in the cigar, trim seq/qual
+            cigar, clip5, clip3 = _hard_clip(cigar)
+            seq = seq[clip5:len(seq) - clip3]
+            oq = oq[clip5:len(oq) - clip3] if oq else None
+        tags: list = [("NM", "i", nm), ("MD", "Z", md)]
+        if sub >= 0:
+            tags.append(("XS", "i", sub))
+        tags.append(("AS", "i", score))
+        if xa:
+            tags.append(("XA", "Z", xa))
+        return SamRecord(qname=name, flag=flag,
+                         rname=self.ref.contigs[rid].name, pos=pos + 1,
+                         mapq=mapq, cigar=cigar, seq=seq, qual=oq or "*",
+                         tags=tags)
+
+    # -- paired-end support: regions only --------------------------------
+
+    def regions_chunk(self, reads, raw_t_fn) -> list[list[Region]]:
+        """Extension + replay, exporting deduped score-sorted regions
+        (compute_regions equivalent) for the Python PE machinery."""
+        self._extend(reads, raw_t_fn)
+        n = self.lib.mp_region_count(self.h, self.nthreads)
+        rows = np.zeros((max(n, 1), 10), np.int64)
+        self.lib.mp_export_regions(self.h, rows.ctypes.data_as(_P64))
+        out: list[list[Region]] = [[] for _ in reads]
+        for i in range(n):
+            (ri, rb, re, qb, qe, score, truesc, w, seedcov,
+             seedlen0) = (int(x) for x in rows[i])
+            out[ri].append(Region(rb=rb, re=re, qb=qb, qe=qe, score=score,
+                                  truesc=truesc, w=w, seedcov=seedcov,
+                                  seedlen0=seedlen0))
+        self.lib.mp_chunk_end(self.h)
+        return out
+
+
+def _hard_clip(cigar: str) -> tuple[str, int, int]:
+    """S -> H at both ends; returns (new_cigar, clip5, clip3)."""
+    import re
+
+    ops = re.findall(r"(\d+)([MIDSH])", cigar)
+    clip5 = clip3 = 0
+    if ops and ops[0][1] == "S":
+        clip5 = int(ops[0][0])
+        ops[0] = (ops[0][0], "H")
+    if len(ops) > 1 and ops[-1][1] == "S":
+        clip3 = int(ops[-1][0])
+        ops[-1] = (ops[-1][0], "H")
+    return "".join(f"{n}{o}" for n, o in ops), clip5, clip3
+
+
+def make_raw_t_backend(params, blk_l: int = 512, interpret: bool = False):
+    """Jitted transposed-layout Pallas backend for NativePipeline
+    (the production device path; `interpret=True` for CPU testing)."""
+    import functools
+
+    import jax
+
+    from bwamem_tpu.ops.extend_pallas import extend_batch_raw_t
+
+    return jax.jit(functools.partial(
+        extend_batch_raw_t, params=params, blk_l=blk_l,
+        interpret=interpret))
+
+
+def make_jax_raw_t_backend(params):
+    """raw_t adapter over the extend_jax twin (CPU-testable oracle)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.extend_jax import extend_batch_core
+
+    core = jax.jit(lambda *a: extend_batch_core(*a, params))
+
+    def fn(query_t, target_t, scal_t, tmaxb):
+        out = core(jnp.asarray(query_t.T), jnp.asarray(scal_t[0]),
+                   jnp.asarray(target_t.T), jnp.asarray(scal_t[1]),
+                   jnp.asarray(scal_t[2]), jnp.asarray(scal_t[3]))
+        z = np.zeros(query_t.shape[1], np.int32)
+        return np.stack([
+            np.asarray(out.score), np.asarray(out.qle),
+            np.asarray(out.tle), np.asarray(out.gtle),
+            np.asarray(out.gscore), np.asarray(out.max_off),
+            np.asarray(out.w_used), z])
+
+    return fn

@@ -249,47 +249,55 @@ def sam_pe(opt: MemOptions, ref: Reference, pes: list[PEStat], name: str,
 
 def align_pairs(opt: MemOptions, ref: Reference, fm, reads1, reads2,
                 names=None, quals1=None, quals2=None,
-                extend_fn=None, po=None, extend_batch_fn=None):
+                extend_fn=None, po=None, extend_batch_fn=None,
+                native_pipe=None, raw_t_fn=None):
     """Full paired-end batch alignment (mem_process_seqs PE path):
     compute regions for all ends, infer the insert-size distribution
     from the batch, then pair and emit.  `po` switches to batched
     seeding; `extend_batch_fn` routes the two ends' extensions through
-    the batched device driver (mate rescue stays host-side)."""
+    the batched device driver (mate rescue stays host-side);
+    `native_pipe` + `raw_t_fn` computes the regions through the C++
+    host pipeline instead (identical output, pinned by
+    tests/test_native_pipe.py)."""
     from bwamem_tpu.pipeline import align as A
 
     n = len(reads1)
     names = names or [f"pair{i}" for i in range(n)]
     quals1 = quals1 or [None] * n
     quals2 = quals2 or [None] * n
-    efn = extend_fn or A.default_extend_fn
     all_reads = list(reads1) + list(reads2)
-    if po is not None:
-        from bwamem_tpu.pipeline.chain import chain_reads_batch
-
-        all_chains = chain_reads_batch(fm, po, all_reads, opt)
+    if native_pipe is not None:
+        all_regs = native_pipe.regions_chunk(all_reads, raw_t_fn)
+        regs = [(all_regs[i], all_regs[n + i]) for i in range(n)]
     else:
-        all_chains = [None] * (2 * n)
-    if extend_batch_fn is not None:
-        from bwamem_tpu.pipeline.chain import chain_read
-        from bwamem_tpu.pipeline.driver import (
-            extension_tables,
-            table_extend_fn,
-        )
+        efn = extend_fn or A.default_extend_fn
+        if po is not None:
+            from bwamem_tpu.pipeline.chain import chain_reads_batch
 
-        if all_chains[0] is None:
-            all_chains = [chain_read(fm, r, opt) for r in all_reads]
-        tables = extension_tables(opt, ref, all_reads, all_chains,
-                                  extend_batch_fn)
-        efns = [table_extend_fn(t) for t in tables]
-    else:
-        efns = [efn] * (2 * n)
-    ch1, ch2 = all_chains[:n], all_chains[n:]
-    regs = []
-    for i, (r1, r2) in enumerate(zip(reads1, reads2)):
-        regs.append((A.compute_regions(opt, ref, fm, r1, efns[i],
-                                       chains=ch1[i]),
-                     A.compute_regions(opt, ref, fm, r2, efns[n + i],
-                                       chains=ch2[i])))
+            all_chains = chain_reads_batch(fm, po, all_reads, opt)
+        else:
+            all_chains = [None] * (2 * n)
+        if extend_batch_fn is not None:
+            from bwamem_tpu.pipeline.chain import chain_read
+            from bwamem_tpu.pipeline.driver import (
+                extension_tables,
+                table_extend_fn,
+            )
+
+            if all_chains[0] is None:
+                all_chains = [chain_read(fm, r, opt) for r in all_reads]
+            tables = extension_tables(opt, ref, all_reads, all_chains,
+                                      extend_batch_fn)
+            efns = [table_extend_fn(t) for t in tables]
+        else:
+            efns = [efn] * (2 * n)
+        ch1, ch2 = all_chains[:n], all_chains[n:]
+        regs = []
+        for i, (r1, r2) in enumerate(zip(reads1, reads2)):
+            regs.append((A.compute_regions(opt, ref, fm, r1, efns[i],
+                                           chains=ch1[i]),
+                         A.compute_regions(opt, ref, fm, r2, efns[n + i],
+                                           chains=ch2[i])))
     pes = infer_isize(opt, ref.l_pac, regs)
     out = []
     for i in range(n):

@@ -1,0 +1,1186 @@
+// Native single-end host pipeline: chaining -> extension planning ->
+// band-doubling replay -> regions -> dedup/MAPQ -> global realignment ->
+// SAM fields, at C speed with internal threading.
+//
+// This is the TPU build's "host half" — the role the patched bwa-0.7.8
+// C host plays in the reference system (SURVEY.md §0: seeding, chaining
+// and SAM emission run on CPU threads while the accelerator extends;
+// README.md:28 `-t $NTHREAD`).  The device (Pallas kernel) handles only
+// the banded extension; this module plans the extension tasks, consumes
+// the (B, 8) result matrices between phases, and produces per-record
+// SAM fields.
+//
+// Semantics are a line-by-line port of the tested Python oracle
+// (bwamem_tpu/pipeline/{chain,align,driver,cigar}.py — bwa-0.7.8
+// semantics); tests/test_native_pipe.py pins native SAM == Python SAM.
+//
+// Protocol (driven by bwamem_tpu/pipeline/native_driver.py):
+//   h = mp_new(...)                      once per index
+//   mp_chunk_start(h, reads, ...)        seed+chain+plan left tasks
+//   loop: B = mp_task_count(h); fill device arrays via mp_fill_tasks;
+//         run kernel; nretry = mp_pass_done(h, results)
+//         (k=0 then optional k=1, for phase L then phase R;
+//          mp_prepare_right switches phases)
+//   mp_finalize(h)                       replay + regions + records
+//   mp_get_records(h, ...)               flat fields + string blob
+//   mp_export_regions(h, ...)            (PE path: regions only)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <set>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" int64_t bwamem_collect_seeds(
+    const int64_t* C, int64_t primary, int64_t n_rows,
+    const int32_t* occ_rows, const uint32_t* pk_rows,
+    const uint32_t* va_rows, const int64_t* ssa, int64_t n_ssa,
+    int64_t sa_intv, const uint8_t* reads, const int64_t* qlen,
+    int64_t n_reads, int64_t L, int64_t min_seed_len, int64_t split_len,
+    int64_t split_width, int64_t max_occ, int64_t* seeds_out, int64_t cap);
+
+extern "C" int64_t bwamem_ksw_global(const uint8_t* query, int64_t qlen,
+                                     const uint8_t* target, int64_t tlen,
+                                     const int8_t* mat, int64_t m,
+                                     int64_t o_del, int64_t e_del,
+                                     int64_t o_ins, int64_t e_ins, int64_t w,
+                                     int32_t* out_cigar, int64_t cigar_cap,
+                                     int64_t* out_score);
+
+extern "C" int64_t bwamem_cigar_nm_md(const uint8_t* query,
+                                      const uint8_t* rseq,
+                                      const int32_t* cigar, int64_t n_cigar,
+                                      char* md_out, int64_t md_cap,
+                                      int64_t* out_nm);
+
+namespace {
+
+struct Opt {
+  int64_t a, b, o_del, e_del, o_ins, e_ins, w, zdrop;
+  int64_t pen_clip5, pen_clip3, min_seed_len, split_width, max_occ;
+  int64_t max_chain_gap, T, flag_M, flag_a, max_xa_hits;
+  double split_factor, drop_ratio, mask_level, mapq_coef_len, mapq_coef_fac;
+};
+
+struct SeedC {
+  int64_t rbeg, qbeg, len;
+  int64_t qend() const { return qbeg + len; }
+  int64_t rend() const { return rbeg + len; }
+};
+
+struct ChainC {
+  std::vector<SeedC> seeds;
+  int64_t pos;
+  int64_t w = 0;
+};
+
+struct ExtRes {
+  int32_t score, qle, tle, gtle, gscore, max_off;
+};
+
+struct TaskC {
+  int32_t ci, si;
+  int8_t side;  // 0 = L, 1 = R
+  int64_t qoff, qlen, toff, tlen;  // into PerRead::qbuf / chain rseq
+  int64_t h0 = 0, max_ins = 1, max_del = 1;
+  ExtRes res[2];  // pass k=0 / k=1 (k=1 duplicates k=0 if converged)
+};
+
+struct RegionC {
+  int64_t rb = 0, re = 0, qb = 0, qe = 0;
+  int64_t score = -1, truesc = -1, w = 0, seedcov = 0, seedlen0 = 0;
+  int64_t sub = 0, csub = 0, sub_n = 0, secondary = -1;
+};
+
+struct RecordC {
+  int64_t flag = 0, rid = -1, pos = -1, mapq = 0, nm = -1;
+  int64_t score = 0, sub = -1;
+  bool is_rev = false;
+  std::string cigar, md, xa;
+};
+
+constexpr int64_t MAX_BAND_TRY = 2;
+constexpr double MASK_LEVEL_REDUN = 0.95;
+
+struct PerRead {
+  std::vector<ChainC> chains;
+  std::vector<std::vector<uint8_t>> rseq;  // per chain
+  std::vector<int64_t> rmax0;
+  std::vector<uint8_t> qbuf;  // reversed/forward query segments
+  std::vector<TaskC> tasks;
+  // (ci, si, side) -> task index, laid out per chain: seeds*2
+  std::vector<std::vector<int32_t>> tidx;
+  std::vector<RegionC> regions;
+  std::vector<RecordC> records;
+};
+
+struct MemPipe {
+  Opt opt;
+  int8_t mat[25];
+  const uint8_t* pac = nullptr;
+  int64_t l_pac = 0;
+  std::vector<int64_t> ctg_off, ctg_len;
+  std::vector<std::string> ctg_name;
+  // seeding index
+  const int64_t* C = nullptr;
+  int64_t primary = 0, n_rows = 0;
+  const int32_t* occ_rows = nullptr;
+  const uint32_t* pk_rows = nullptr;
+  const uint32_t* va_rows = nullptr;
+  const int64_t* ssa = nullptr;
+  int64_t n_ssa = 0, sa_intv = 0;
+  // chunk state
+  int64_t n_reads = 0, L = 0;
+  const uint8_t* reads = nullptr;
+  std::vector<int64_t> qlen;
+  std::vector<PerRead> per;
+  int phase = 0;  // 0 = L, 1 = R
+  int pass_k = 0;
+  std::vector<std::pair<int32_t, int32_t>> cur;  // (read, task) sorted
+  // record export offsets
+  std::vector<int64_t> rec_read;  // flattened record -> read idx
+};
+
+int64_t cal_max_gap(const Opt& o, int64_t qlen) {
+  int64_t l_del =
+      static_cast<int64_t>((qlen * o.a - o.o_del) / (double)o.e_del + 1.0);
+  int64_t l_ins =
+      static_cast<int64_t>((qlen * o.a - o.o_ins) / (double)o.e_ins + 1.0);
+  int64_t l = std::max(std::max(l_del, l_ins), (int64_t)1);
+  return std::min(l, o.w << 1);
+}
+
+int64_t max_gap_bound(const Opt& o, int64_t qlen, int64_t oo, int64_t e,
+                      int64_t end_bonus) {
+  return std::max(
+      static_cast<int64_t>((qlen * o.a + end_bonus - oo) / (double)e + 1.0),
+      (int64_t)1);
+}
+
+// ---- chaining (chain.py chain_seeds / filter_chains) ----
+
+bool test_and_merge(const Opt& o, int64_t l_pac, ChainC& c, const SeedC& s) {
+  const SeedC& last = c.seeds.back();
+  int64_t qend = last.qend(), rend = last.rend();
+  if (s.rbeg >= c.seeds[0].rbeg && s.qbeg >= c.seeds[0].qbeg &&
+      s.qend() <= qend && s.rend() <= rend)
+    return true;  // contained seed, do nothing
+  if ((c.seeds[0].rbeg < l_pac || last.rbeg < l_pac) && s.rbeg >= l_pac)
+    return false;
+  int64_t x = s.qbeg - last.qbeg;
+  int64_t y = s.rbeg - last.rbeg;
+  if (y >= 0 && x - y <= o.w && y - x <= o.w &&
+      x - last.len < o.max_chain_gap && y - last.len < o.max_chain_gap) {
+    c.seeds.push_back(s);
+    return true;
+  }
+  return false;
+}
+
+int64_t chain_weight(const ChainC& c) {
+  int64_t w_q = 0, end = 0;
+  for (const auto& s : c.seeds) {
+    if (s.qbeg >= end)
+      w_q += s.len;
+    else if (s.qend() > end)
+      w_q += s.qend() - end;
+    end = std::max(end, s.qend());
+  }
+  int64_t w_r = 0;
+  end = 0;
+  for (const auto& s : c.seeds) {
+    if (s.rbeg >= end)
+      w_r += s.len;
+    else if (s.rend() > end)
+      w_r += s.rend() - end;
+    end = std::max(end, s.rend());
+  }
+  return std::min(w_q, w_r);
+}
+
+void chain_read(const MemPipe& mp, const SeedC* seeds, int64_t n,
+                std::vector<ChainC>& out) {
+  std::vector<ChainC> chains;
+  std::set<std::pair<int64_t, int64_t>> keys;  // (pos, insertion id)
+  for (int64_t i = 0; i < n; ++i) {
+    const SeedC& s = seeds[i];
+    bool merged = false;
+    auto it = keys.upper_bound({s.rbeg, INT64_MAX});
+    if (it != keys.begin()) {
+      --it;
+      merged = test_and_merge(mp.opt, mp.l_pac,
+                              chains[static_cast<size_t>(it->second)], s);
+    }
+    if (!merged) {
+      keys.insert({s.rbeg, static_cast<int64_t>(chains.size())});
+      ChainC c;
+      c.seeds.push_back(s);
+      c.pos = s.rbeg;
+      chains.push_back(std::move(c));
+    }
+  }
+  // filter_chains
+  out.clear();
+  if (chains.empty()) return;
+  for (auto& c : chains) c.w = chain_weight(c);
+  std::vector<int32_t> order(chains.size());
+  for (size_t i = 0; i < order.size(); ++i) order[i] = (int32_t)i;
+  std::stable_sort(order.begin(), order.end(), [&](int32_t x, int32_t y) {
+    if (chains[x].w != chains[y].w) return chains[x].w > chains[y].w;
+    return chains[x].pos < chains[y].pos;
+  });
+  std::vector<int32_t> kept;
+  kept.push_back(order[0]);
+  for (size_t i = 1; i < order.size(); ++i) {
+    ChainC& c = chains[order[i]];
+    bool drop = false;
+    for (int32_t ki : kept) {
+      ChainC& k = chains[ki];
+      int64_t kqb = k.seeds[0].qbeg, kqe = k.seeds.back().qend();
+      int64_t cqb = c.seeds[0].qbeg, cqe = c.seeds.back().qend();
+      int64_t b_max = std::max(kqb, cqb);
+      int64_t e_min = std::min(kqe, cqe);
+      if (e_min > b_max) {
+        int64_t min_l = std::min(cqe - cqb, kqe - kqb);
+        if (e_min - b_max >= min_l * mp.opt.mask_level &&
+            min_l < mp.opt.max_chain_gap) {
+          if (c.w < k.w * mp.opt.drop_ratio &&
+              k.w - c.w >= mp.opt.min_seed_len * 2) {
+            drop = true;
+            break;
+          }
+        }
+      }
+    }
+    if (!drop) kept.push_back(order[i]);
+  }
+  for (int32_t ki : kept) out.push_back(std::move(chains[ki]));
+}
+
+// ---- reference fetch (io/fasta.py Reference) ----
+
+int pos2rid(const MemPipe& mp, int64_t pos) {
+  for (size_t i = 0; i < mp.ctg_off.size(); ++i)
+    if (mp.ctg_off[i] <= pos && pos < mp.ctg_off[i] + mp.ctg_len[i])
+      return static_cast<int>(i);
+  return -1;
+}
+
+void contig_window(const MemPipe& mp, int64_t pos, int64_t* lo, int64_t* hi) {
+  int64_t l2 = mp.l_pac << 1;
+  if (pos < mp.l_pac) {
+    int r = pos2rid(mp, pos);
+    *lo = mp.ctg_off[r];
+    *hi = mp.ctg_off[r] + mp.ctg_len[r];
+  } else {
+    int r = pos2rid(mp, l2 - 1 - pos);
+    *lo = l2 - (mp.ctg_off[r] + mp.ctg_len[r]);
+    *hi = l2 - mp.ctg_off[r];
+  }
+}
+
+void get_seq(const MemPipe& mp, int64_t beg, int64_t end,
+             std::vector<uint8_t>& out) {
+  int64_t l2 = mp.l_pac << 1;
+  out.resize(end - beg);
+  if (end <= mp.l_pac) {
+    std::memcpy(out.data(), mp.pac + beg, end - beg);
+  } else {
+    for (int64_t i = 0; i < end - beg; ++i) {
+      uint8_t c = mp.pac[l2 - 1 - (beg + i)];
+      out[i] = c < 4 ? 3 - c : c;
+    }
+  }
+}
+
+// ---- extension planning (driver.py _plan_read) ----
+
+void plan_read(const MemPipe& mp, int64_t ri, PerRead& pr) {
+  const Opt& o = mp.opt;
+  const uint8_t* read = mp.reads + ri * mp.L;
+  int64_t l_query = mp.qlen[ri];
+  pr.rseq.resize(pr.chains.size());
+  pr.rmax0.resize(pr.chains.size());
+  pr.tidx.resize(pr.chains.size());
+  for (size_t ci = 0; ci < pr.chains.size(); ++ci) {
+    const ChainC& c = pr.chains[ci];
+    int64_t rmax0 = mp.l_pac << 1, rmax1 = 0;
+    for (const auto& t : c.seeds) {
+      int64_t b = t.rbeg - (t.qbeg + cal_max_gap(o, t.qbeg));
+      int64_t e = t.rbeg + t.len + (l_query - t.qbeg - t.len) +
+                  cal_max_gap(o, l_query - t.qbeg - t.len);
+      rmax0 = std::min(rmax0, b);
+      rmax1 = std::max(rmax1, e);
+    }
+    rmax0 = std::max(rmax0, (int64_t)0);
+    rmax1 = std::min(rmax1, mp.l_pac << 1);
+    if (rmax0 < mp.l_pac && mp.l_pac < rmax1) {
+      if (c.seeds[0].rbeg < mp.l_pac)
+        rmax1 = mp.l_pac;
+      else
+        rmax0 = mp.l_pac;
+    }
+    int64_t lo, hi;
+    contig_window(mp, c.seeds[0].rbeg, &lo, &hi);
+    rmax0 = std::max(rmax0, lo);
+    rmax1 = std::min(rmax1, hi);
+    get_seq(mp, rmax0, rmax1, pr.rseq[ci]);
+    pr.rmax0[ci] = rmax0;
+    pr.tidx[ci].assign(c.seeds.size() * 2, -1);
+    for (size_t si = 0; si < c.seeds.size(); ++si) {
+      const SeedC& s = c.seeds[si];
+      if (s.qbeg > 0) {  // left: reversed query prefix, reversed target
+        TaskC t;
+        t.ci = (int32_t)ci;
+        t.si = (int32_t)si;
+        t.side = 0;
+        t.qoff = (int64_t)pr.qbuf.size();
+        t.qlen = s.qbeg;
+        for (int64_t j = s.qbeg - 1; j >= 0; --j) pr.qbuf.push_back(read[j]);
+        t.toff = 0;  // left target = rseq[:s.rbeg-rmax0] reversed (flagged)
+        t.tlen = std::min(std::max(s.rbeg - rmax0, (int64_t)0),
+                          (int64_t)pr.rseq[ci].size());
+        t.h0 = s.len * o.a;
+        t.max_ins = max_gap_bound(o, t.qlen, o.o_ins, o.e_ins, o.pen_clip5);
+        t.max_del = max_gap_bound(o, t.qlen, o.o_del, o.e_del, o.pen_clip5);
+        pr.tidx[ci][si * 2] = (int32_t)pr.tasks.size();
+        pr.tasks.push_back(t);
+      }
+      if (s.qbeg + s.len != l_query) {  // right: forward suffixes
+        TaskC t;
+        t.ci = (int32_t)ci;
+        t.si = (int32_t)si;
+        t.side = 1;
+        t.qoff = (int64_t)pr.qbuf.size();
+        t.qlen = l_query - (s.qbeg + s.len);
+        for (int64_t j = s.qbeg + s.len; j < l_query; ++j)
+          pr.qbuf.push_back(read[j]);
+        t.toff = std::min(std::max(s.rbeg + s.len - rmax0, (int64_t)0),
+                          (int64_t)pr.rseq[ci].size());
+        t.tlen = (int64_t)pr.rseq[ci].size() - t.toff;
+        t.h0 = 0;  // filled by prepare_right
+        t.max_ins = max_gap_bound(o, t.qlen, o.o_ins, o.e_ins, o.pen_clip3);
+        t.max_del = max_gap_bound(o, t.qlen, o.o_del, o.e_del, o.pen_clip3);
+        pr.tidx[ci][si * 2 + 1] = (int32_t)pr.tasks.size();
+        pr.tasks.push_back(t);
+      }
+    }
+  }
+}
+
+// driver.py _resolve: replay band-doubling convergence over the two
+// stored passes; returns the taken result and the attempted width.
+const ExtRes& resolve(const Opt& o, const TaskC& t, int64_t prev_score,
+                      int64_t* aw_out = nullptr) {
+  int64_t prev = prev_score;
+  int k = 0;
+  for (; k < MAX_BAND_TRY; ++k) {
+    int64_t aw = o.w << k;
+    const ExtRes& r = t.res[k];
+    if (aw_out) *aw_out = aw;
+    if (r.score == prev || r.max_off < ((aw >> 1) + (aw >> 2))) return r;
+    prev = r.score;
+  }
+  if (aw_out) *aw_out = o.w << (MAX_BAND_TRY - 1);
+  return t.res[MAX_BAND_TRY - 1];
+}
+
+// ---- replay (align.py chain2aln with the precomputed table) ----
+
+void replay_read(const MemPipe& mp, int64_t ri, PerRead& pr) {
+  const Opt& o = mp.opt;
+  int64_t l_query = mp.qlen[ri];
+  auto& regions = pr.regions;
+  for (size_t ci = 0; ci < pr.chains.size(); ++ci) {
+    const ChainC& c = pr.chains[ci];
+    int64_t rmax0 = pr.rmax0[ci];
+    // longest-first (ties -> later index first)
+    std::vector<int32_t> order(c.seeds.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = (int32_t)i;
+    std::stable_sort(order.begin(), order.end(), [&](int32_t x, int32_t y) {
+      if (c.seeds[x].len != c.seeds[y].len)
+        return c.seeds[x].len > c.seeds[y].len;
+      return x > y;
+    });
+    for (int32_t k : order) {
+      const SeedC& s = c.seeds[k];
+      bool skip = false;
+      for (const auto& p : regions) {
+        if (!(s.rbeg >= p.rb && s.rend() <= p.re && s.qbeg >= p.qb &&
+              s.qend() <= p.qe))
+          continue;
+        if (s.len - p.seedlen0 > 0.1 * l_query) continue;
+        int64_t qd = s.qbeg - p.qb, rd = s.rbeg - p.rb;
+        int64_t mg = cal_max_gap(o, std::min(qd, rd));
+        int64_t ww = std::min(mg, p.w);
+        if (qd - rd < ww && rd - qd < ww) {
+          skip = true;
+          break;
+        }
+        qd = l_query - s.qend();
+        rd = p.re - s.rend();
+        mg = cal_max_gap(o, std::min(qd, rd));
+        ww = std::min(mg, p.w);
+        if (qd - rd < ww && rd - qd < ww) {
+          skip = true;
+          break;
+        }
+      }
+      if (skip) continue;
+
+      RegionC a;
+      a.w = o.w;
+      a.seedlen0 = s.len;
+      int64_t aw0 = o.w, aw1 = o.w;
+      if (s.qbeg > 0) {
+        const TaskC& t = pr.tasks[pr.tidx[ci][k * 2]];
+        const ExtRes& res = resolve(o, t, -1, &aw0);
+        a.score = res.score;
+        if (res.gscore <= 0 || res.gscore <= a.score - o.pen_clip5) {
+          a.qb = s.qbeg - res.qle;
+          a.rb = s.rbeg - res.tle;
+          a.truesc = a.score;
+        } else {
+          a.qb = 0;
+          a.rb = s.rbeg - res.gtle;
+          a.truesc = res.gscore;
+        }
+      } else {
+        a.score = a.truesc = s.len * o.a;
+        a.qb = 0;
+        a.rb = s.rbeg;
+      }
+      if (s.qend() != l_query) {
+        int64_t sc0 = a.score;
+        const TaskC& t = pr.tasks[pr.tidx[ci][k * 2 + 1]];
+        const ExtRes& res = resolve(o, t, sc0, &aw1);
+        a.score = res.score;
+        if (res.gscore <= 0 || res.gscore <= a.score - o.pen_clip3) {
+          a.qe = s.qend() + res.qle;
+          a.re = s.rend() + res.tle;
+          a.truesc += a.score - sc0;
+        } else {
+          a.qe = l_query;
+          a.re = s.rend() + res.gtle;  // rmax0 + re_off + gtle
+          a.truesc += res.gscore - sc0;
+        }
+      } else {
+        a.qe = l_query;
+        a.re = s.rend();
+      }
+      a.w = std::max(aw0, aw1);
+      for (const auto& t : c.seeds)
+        if (t.qbeg >= a.qb && t.qend() <= a.qe && t.rbeg >= a.rb &&
+            t.rend() <= a.re)
+          a.seedcov += t.len;
+      regions.push_back(a);
+    }
+  }
+  // sort_and_dedup
+  if (regions.size() > 1) {
+    std::stable_sort(regions.begin(), regions.end(),
+                     [](const RegionC& x, const RegionC& y) {
+                       if (x.rb != y.rb) return x.rb < y.rb;
+                       if (x.re != y.re) return x.re < y.re;
+                       if (x.qb != y.qb) return x.qb < y.qb;
+                       if (x.qe != y.qe) return x.qe < y.qe;
+                       return x.score > y.score;
+                     });
+    std::vector<RegionC> out;
+    for (const auto& r : regions) {
+      bool dup = false;
+      for (const auto& q : out) {
+        if (q.rb == r.rb && q.qb == r.qb && q.score == r.score) {
+          dup = true;
+          break;
+        }
+        int64_t b = std::max(q.rb, r.rb);
+        int64_t e = std::min(q.re, r.re);
+        if (e > b) {
+          int64_t min_l = std::min(q.re - q.rb, r.re - r.rb);
+          if (e - b >= min_l * MASK_LEVEL_REDUN && min_l == r.re - r.rb &&
+              q.score >= r.score) {
+            dup = true;
+            break;
+          }
+        }
+      }
+      if (!dup) out.push_back(r);
+    }
+    regions.swap(out);
+  }
+  std::stable_sort(regions.begin(), regions.end(),
+                   [](const RegionC& x, const RegionC& y) {
+                     if (x.score != y.score) return x.score > y.score;
+                     if (x.rb != y.rb) return x.rb < y.rb;
+                     return x.qb < y.qb;
+                   });
+}
+
+// align.py mark_primary
+void mark_primary(const Opt& o, std::vector<RegionC>& regions) {
+  if (regions.empty()) return;
+  for (auto& r : regions) {
+    r.sub = 0;
+    r.sub_n = 0;
+    r.secondary = -1;
+  }
+  std::stable_sort(regions.begin(), regions.end(),
+                   [](const RegionC& x, const RegionC& y) {
+                     if (x.score != y.score) return x.score > y.score;
+                     if (x.qb != y.qb) return x.qb < y.qb;
+                     return x.rb < y.rb;
+                   });
+  int64_t tmp = std::max(std::max(o.a + o.b, o.o_del + o.e_del),
+                         o.o_ins + o.e_ins);
+  std::vector<int64_t> kept;
+  for (size_t i = 0; i < regions.size(); ++i) {
+    RegionC& p = regions[i];
+    bool placed = false;
+    for (int64_t k : kept) {
+      RegionC& q = regions[k];
+      int64_t b_max = std::max(q.qb, p.qb);
+      int64_t e_min = std::min(q.qe, p.qe);
+      if (e_min > b_max) {
+        int64_t min_l = std::min(p.qe - p.qb, q.qe - q.qb);
+        if (e_min - b_max >= min_l * o.mask_level) {
+          if (q.sub == 0) q.sub = p.score;
+          if (q.score - p.score <= tmp) q.sub_n += 1;
+          p.secondary = k;
+          placed = true;
+          break;
+        }
+      }
+    }
+    if (!placed) kept.push_back((int64_t)i);
+  }
+}
+
+// align.py approx_mapq_se
+int64_t approx_mapq_se(const Opt& o, const RegionC& a) {
+  int64_t sub = a.sub ? a.sub : o.min_seed_len * o.a;
+  sub = std::max(a.csub, sub);
+  if (sub >= a.score) return 0;
+  int64_t l = std::max(a.qe - a.qb, a.re - a.rb);
+  double identity =
+      1.0 - (double)(l * o.a - a.score) / (o.a + o.b) / (double)l;
+  int64_t mapq;
+  if (a.score == 0) {
+    mapq = 0;
+  } else if (o.mapq_coef_len > 0) {
+    double tmp =
+        l < o.mapq_coef_len ? 1.0 : o.mapq_coef_fac / std::log((double)l);
+    tmp *= identity * identity;
+    mapq = (int64_t)(6.02 * (a.score - sub) / o.a * tmp * tmp + 0.499);
+  } else {
+    mapq = (int64_t)(30.0 * (1.0 - (double)sub / a.score) *
+                         std::log((double)a.seedcov) +
+                     0.499);
+  }
+  if (a.sub_n > 0)
+    mapq -= (int64_t)(4.343 * std::log((double)a.sub_n + 1) + 0.499);
+  return std::max((int64_t)0, std::min(mapq, (int64_t)60));
+}
+
+// cigar.py infer_bw
+int64_t infer_bw(int64_t l1, int64_t l2, int64_t score, int64_t a, int64_t q,
+                 int64_t r) {
+  if (l1 == l2 && l1 * a - score < (q + r - a) * 2) return 0;
+  int64_t w = (int64_t)((std::min(l1, l2) * a - score - q) / (double)r + 2.0);
+  return std::max(w, l1 > l2 ? l1 - l2 : l2 - l1);
+}
+
+void cigar_to_string(const std::vector<std::pair<int32_t, int32_t>>& cig,
+                     std::string& out) {
+  static const char OPS[] = "MIDSH";
+  out.clear();
+  if (cig.empty()) {
+    out = "*";
+    return;
+  }
+  char buf[16];
+  for (const auto& p : cig) {
+    int n = snprintf(buf, sizeof buf, "%d%c", p.second, OPS[p.first]);
+    out.append(buf, n);
+  }
+}
+
+// align.py reg2aln (single-end; mate handling stays in Python for PE)
+RecordC reg2aln(const MemPipe& mp, int64_t ri, const RegionC& ar) {
+  const Opt& o = mp.opt;
+  const uint8_t* read = mp.reads + ri * mp.L;
+  int64_t l_query = mp.qlen[ri];
+  RecordC a;
+  if (ar.rb < 0 || ar.re < 0) {
+    a.flag |= 0x4;
+    return a;
+  }
+  int64_t qb = ar.qb, qe = ar.qe, rb = ar.rb, re = ar.re;
+  a.mapq = ar.secondary < 0 ? approx_mapq_se(o, ar) : 0;
+  if (ar.secondary >= 0) a.flag |= 0x100;
+  int64_t w2 =
+      std::max(infer_bw(qe - qb, re - rb, ar.truesc, o.a, o.o_del, o.e_del),
+               infer_bw(qe - qb, re - rb, ar.truesc, o.a, o.o_ins, o.e_ins));
+  if (w2 > o.w) w2 = std::min(w2, ar.w);
+  std::vector<uint8_t> qseg(read + qb, read + qe);
+  std::vector<uint8_t> rseg;
+  get_seq(mp, rb, re, rseg);
+  if (rb >= mp.l_pac) {
+    std::reverse(qseg.begin(), qseg.end());
+    std::reverse(rseg.begin(), rseg.end());
+  }
+  std::vector<std::pair<int32_t, int32_t>> cigar;
+  int64_t score;
+  if (qe - qb == re - rb && w2 == 0) {
+    score = 0;
+    for (size_t i = 0; i < qseg.size(); ++i)
+      score += mp.mat[rseg[i] * 5 + qseg[i]];
+    cigar.push_back({0, (int32_t)(qe - qb)});
+  } else {
+    int64_t last_sc = -((int64_t)1 << 30);
+    int64_t i = 0;
+    std::vector<int32_t> cbuf(2 * (qseg.size() + rseg.size() + 2));
+    for (;;) {
+      w2 = std::min(w2, o.w << 2);
+      int64_t nc = 0;
+      if (qseg.empty()) {
+        score = rseg.empty() ? 0 : -(o.o_del + o.e_del * (int64_t)rseg.size());
+        if (!rseg.empty()) {
+          cbuf[0] = 2;
+          cbuf[1] = (int32_t)rseg.size();
+          nc = 1;
+        }
+      } else if (rseg.empty()) {
+        score = -(o.o_ins + o.e_ins * (int64_t)qseg.size());
+        cbuf[0] = 1;
+        cbuf[1] = (int32_t)qseg.size();
+        nc = 1;
+      } else {
+        nc = bwamem_ksw_global(qseg.data(), qseg.size(), rseg.data(),
+                               rseg.size(), mp.mat, 5, o.o_del, o.e_del,
+                               o.o_ins, o.e_ins, w2, cbuf.data(),
+                               (int64_t)(qseg.size() + rseg.size() + 2),
+                               &score);
+      }
+      cigar.clear();
+      for (int64_t c = 0; c < nc; ++c)
+        cigar.push_back({cbuf[2 * c], cbuf[2 * c + 1]});
+      if (score == last_sc || w2 == (o.w << 2)) break;
+      last_sc = score;
+      w2 <<= 1;
+      i += 1;
+      if (!(i < 3 && score < ar.truesc - o.a)) break;
+    }
+  }
+  {  // NM / MD
+    std::vector<int32_t> flat(2 * cigar.size());
+    for (size_t c = 0; c < cigar.size(); ++c) {
+      flat[2 * c] = cigar[c].first;
+      flat[2 * c + 1] = cigar[c].second;
+    }
+    std::vector<char> md(16 + 5 * (qseg.size() + rseg.size()));
+    int64_t nm = 0;
+    int64_t ln = bwamem_cigar_nm_md(qseg.data(), rseg.data(), flat.data(),
+                                    (int64_t)cigar.size(), md.data(),
+                                    (int64_t)md.size(), &nm);
+    a.nm = nm;
+    a.md.assign(md.data(), ln > 0 ? ln : 0);
+  }
+  int64_t pos2;
+  if (rb < mp.l_pac) {
+    pos2 = rb;
+    a.is_rev = false;
+  } else {
+    pos2 = (mp.l_pac << 1) - 1 - (re - 1);
+    a.is_rev = true;
+  }
+  if (a.is_rev) a.flag |= 0x10;
+  if (!cigar.empty() && cigar.front().first == 2) {
+    pos2 += cigar.front().second;
+    cigar.erase(cigar.begin());
+  }
+  if (!cigar.empty() && cigar.back().first == 2) cigar.pop_back();
+  if (qb != 0 || qe != l_query) {
+    int64_t clip5 = a.is_rev ? l_query - qe : qb;
+    int64_t clip3 = a.is_rev ? qb : l_query - qe;
+    if (clip5) cigar.insert(cigar.begin(), {3, (int32_t)clip5});
+    if (clip3) cigar.push_back({3, (int32_t)clip3});
+  }
+  int64_t span = 0;
+  for (const auto& p : cigar)
+    if (p.first == 0 || p.first == 2) span += p.second;
+  a.rid = pos2rid(mp, pos2);
+  if (a.rid < 0 || (span > 0 && pos2rid(mp, pos2 + span - 1) != a.rid)) {
+    a.rid = -1;
+    a.flag |= 0x4;
+    a.cigar = "*";
+    return a;
+  }
+  a.pos = pos2 - mp.ctg_off[a.rid];
+  a.score = ar.score;
+  a.sub = std::max(ar.sub, ar.csub);
+  cigar_to_string(cigar, a.cigar);
+  return a;
+}
+
+// align.py xa_string
+void xa_string(const MemPipe& mp, int64_t ri,
+               const std::vector<RegionC>& regions, std::string& out) {
+  out.clear();
+  std::vector<const RegionC*> alts;
+  for (const auto& p : regions)
+    if (p.secondary == 0 && p.score >= mp.opt.T) alts.push_back(&p);
+  if (alts.empty() || (int64_t)alts.size() > mp.opt.max_xa_hits) return;
+  char buf[64];
+  for (const auto* p : alts) {
+    RecordC q = reg2aln(mp, ri, *p);
+    if (q.rid < 0) continue;
+    out += mp.ctg_name[q.rid];
+    int n = snprintf(buf, sizeof buf, ",%c%lld,", q.is_rev ? '-' : '+',
+                     (long long)(q.pos + 1));
+    out.append(buf, n);
+    out += q.cigar;
+    n = snprintf(buf, sizeof buf, ",%lld;", (long long)q.nm);
+    out.append(buf, n);
+  }
+}
+
+// align.py align_read record loop + aln2sam flag/tag logic (SE)
+void finalize_read(const MemPipe& mp, int64_t ri, PerRead& pr) {
+  const Opt& o = mp.opt;
+  replay_read(mp, ri, pr);
+  mark_primary(o, pr.regions);
+  std::vector<RecordC> alns;
+  for (const auto& p : pr.regions) {
+    if (p.score < o.T) continue;
+    if (p.secondary >= 0 && !o.flag_a) continue;
+    RecordC q = reg2aln(mp, ri, p);
+    if (p.secondary >= 0) q.sub = -1;
+    if (!alns.empty() && p.secondary < 0)
+      q.flag |= o.flag_M ? 0x100 : 0x800;
+    if (!alns.empty() && q.mapq > alns[0].mapq) q.mapq = alns[0].mapq;
+    alns.push_back(std::move(q));
+  }
+  if (alns.empty()) {
+    RecordC rec;
+    rec.flag = 0x4;
+    rec.cigar = "*";
+    pr.records.push_back(std::move(rec));
+    return;
+  }
+  for (auto& a : alns) {
+    // aln2sam: -M remaps supplementary to secondary; unmapped strips
+    int64_t flag = a.flag;
+    if (o.flag_M && (flag & 0x800)) flag = (flag & ~0x800) | 0x100;
+    if (a.rid < 0 || (flag & 0x4)) {
+      flag = (flag | 0x4) & ~(0x10 | 0x100 | 0x800);
+      RecordC rec;
+      rec.flag = flag;
+      rec.cigar = "*";
+      pr.records.push_back(std::move(rec));
+      continue;
+    }
+    a.flag = flag;
+    pr.records.push_back(std::move(a));
+  }
+  if (!o.flag_a) {
+    std::string xa;
+    xa_string(mp, ri, pr.regions, xa);
+    if (!xa.empty()) pr.records[0].xa = std::move(xa);
+  }
+}
+
+}  // namespace
+
+// ======================= C API =======================
+
+extern "C" {
+
+void* mp_new(const int64_t* opt_i, const double* opt_d, const int8_t* mat,
+             const uint8_t* pac, int64_t l_pac, const int64_t* ctg_off,
+             const int64_t* ctg_len, int64_t n_ctg, const char* names_blob,
+             const int64_t* C, int64_t primary, int64_t n_rows,
+             const int32_t* occ_rows, const uint32_t* pk_rows,
+             const uint32_t* va_rows, const int64_t* ssa, int64_t n_ssa,
+             int64_t sa_intv) {
+  MemPipe* mp = new MemPipe();
+  Opt& o = mp->opt;
+  o.a = opt_i[0];
+  o.b = opt_i[1];
+  o.o_del = opt_i[2];
+  o.e_del = opt_i[3];
+  o.o_ins = opt_i[4];
+  o.e_ins = opt_i[5];
+  o.w = opt_i[6];
+  o.zdrop = opt_i[7];
+  o.pen_clip5 = opt_i[8];
+  o.pen_clip3 = opt_i[9];
+  o.min_seed_len = opt_i[10];
+  o.split_width = opt_i[11];
+  o.max_occ = opt_i[12];
+  o.max_chain_gap = opt_i[13];
+  o.T = opt_i[14];
+  o.flag_M = opt_i[15];
+  o.flag_a = opt_i[16];
+  o.max_xa_hits = opt_i[17];
+  o.split_factor = opt_d[0];
+  o.drop_ratio = opt_d[1];
+  o.mask_level = opt_d[2];
+  o.mapq_coef_len = opt_d[3];
+  o.mapq_coef_fac = opt_d[4];
+  std::memcpy(mp->mat, mat, 25);
+  mp->pac = pac;
+  mp->l_pac = l_pac;
+  mp->ctg_off.assign(ctg_off, ctg_off + n_ctg);
+  mp->ctg_len.assign(ctg_len, ctg_len + n_ctg);
+  const char* p = names_blob;
+  for (int64_t i = 0; i < n_ctg; ++i) {
+    mp->ctg_name.push_back(std::string(p));
+    p += mp->ctg_name.back().size() + 1;
+  }
+  mp->C = C;
+  mp->primary = primary;
+  mp->n_rows = n_rows;
+  mp->occ_rows = occ_rows;
+  mp->pk_rows = pk_rows;
+  mp->va_rows = va_rows;
+  mp->ssa = ssa;
+  mp->n_ssa = n_ssa;
+  mp->sa_intv = sa_intv;
+  return mp;
+}
+
+void mp_free(void* h) { delete static_cast<MemPipe*>(h); }
+
+// Seed + chain + plan the left-extension tasks for a chunk of reads.
+// Returns 0, or -1 on seed-capacity failure.
+int64_t mp_chunk_start(void* h, const uint8_t* reads, const int64_t* qlen,
+                       int64_t n_reads, int64_t L, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  mp.reads = reads;
+  mp.n_reads = n_reads;
+  mp.L = L;
+  mp.qlen.assign(qlen, qlen + n_reads);
+  mp.per.assign(n_reads, PerRead());
+  mp.phase = 0;
+  mp.pass_k = 0;
+
+  // seeding via the native SMEM engine (single call; it is memory-bound
+  // and fast — threading happens at the per-read stages below)
+  int64_t total_q = 0;
+  for (int64_t i = 0; i < n_reads; ++i) total_q += qlen[i];
+  int64_t split_len =
+      (int64_t)(mp.opt.min_seed_len * mp.opt.split_factor + 0.499);
+  std::vector<int64_t> seed_rows;
+  int64_t cap = std::max((int64_t)1 << 16, total_q * 4);
+  int64_t n_seeds;
+  for (;;) {
+    seed_rows.resize(cap * 4);
+    n_seeds = bwamem_collect_seeds(
+        mp.C, mp.primary, mp.n_rows, mp.occ_rows, mp.pk_rows, mp.va_rows,
+        mp.ssa, mp.n_ssa, mp.sa_intv, reads, qlen, n_reads, L,
+        mp.opt.min_seed_len, split_len, mp.opt.split_width, mp.opt.max_occ,
+        seed_rows.data(), cap);
+    if (n_seeds >= 0) break;
+    cap *= 4;
+    if (cap > ((int64_t)1 << 31)) return -1;
+  }
+  // group per read (rows are read-ordered)
+  std::vector<std::vector<SeedC>> seeds(n_reads);
+  for (int64_t k = 0; k < n_seeds; ++k) {
+    const int64_t* row = seed_rows.data() + k * 4;
+    seeds[row[0]].push_back(SeedC{row[1], row[2], row[3]});
+  }
+  // chain + plan, threaded over reads
+  int nt = std::max((int)nthreads, 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t ri = next.fetch_add(1);
+      if (ri >= n_reads) break;
+      PerRead& pr = mp.per[ri];
+      if (!seeds[ri].empty())
+        chain_read(mp, seeds[ri].data(), (int64_t)seeds[ri].size(),
+                   pr.chains);
+      plan_read(mp, ri, pr);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  // current task list = all LEFT tasks, sorted by -tlen (stable)
+  mp.cur.clear();
+  for (int64_t ri = 0; ri < n_reads; ++ri)
+    for (size_t ti = 0; ti < mp.per[ri].tasks.size(); ++ti)
+      if (mp.per[ri].tasks[ti].side == 0)
+        mp.cur.push_back({(int32_t)ri, (int32_t)ti});
+  std::stable_sort(mp.cur.begin(), mp.cur.end(),
+                   [&](const std::pair<int32_t, int32_t>& x,
+                       const std::pair<int32_t, int32_t>& y) {
+                     return mp.per[x.first].tasks[x.second].tlen >
+                            mp.per[y.first].tasks[y.second].tlen;
+                   });
+  return 0;
+}
+
+int64_t mp_task_count(void* h) {
+  return (int64_t)static_cast<MemPipe*>(h)->cur.size();
+}
+
+void mp_task_dims(void* h, int64_t* qmax, int64_t* tmax) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int64_t q = 1, t = 1;
+  for (const auto& p : mp.cur) {
+    const TaskC& task = mp.per[p.first].tasks[p.second];
+    q = std::max(q, task.qlen);
+    t = std::max(t, task.tlen);
+  }
+  *qmax = q;
+  *tmax = t;
+}
+
+// Fill the kernel input arrays IN TRANSPOSED LAYOUT (the fast-path
+// layout of ops/extend_pallas.py): query_t (qmax, Bp) int32,
+// target_t (tmax, Bp) int32, scal_t (8, Bp) int32 rows
+// [qlen, tlen, aw, h0, 0...].  Arrays must be zeroed by the caller;
+// only columns 0..B-1 are written.  k is the band-doubling pass.
+void mp_fill_tasks(void* h, int64_t k, int32_t* query_t, int64_t qmax,
+                   int32_t* target_t, int64_t tmax, int32_t* scal_t,
+                   int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  for (size_t slot = 0; slot < mp.cur.size(); ++slot) {
+    const auto& pr = mp.per[mp.cur[slot].first];
+    const TaskC& t = pr.tasks[mp.cur[slot].second];
+    const uint8_t* q = pr.qbuf.data() + t.qoff;
+    for (int64_t j = 0; j < t.qlen; ++j)
+      query_t[j * Bp + slot] = q[j];
+    const std::vector<uint8_t>& rs = pr.rseq[t.ci];
+    if (t.side == 0) {  // left target is reversed rseq[:tlen]
+      for (int64_t j = 0; j < t.tlen; ++j)
+        target_t[j * Bp + slot] = rs[t.tlen - 1 - j];
+    } else {
+      for (int64_t j = 0; j < t.tlen; ++j)
+        target_t[j * Bp + slot] = rs[t.toff + j];
+    }
+    int64_t aw = std::min((int64_t)(o.w << k), std::min(t.max_ins, t.max_del));
+    scal_t[0 * Bp + slot] = (int32_t)t.qlen;
+    scal_t[1 * Bp + slot] = (int32_t)t.tlen;
+    scal_t[2 * Bp + slot] = (int32_t)aw;
+    scal_t[3 * Bp + slot] = (int32_t)t.h0;
+  }
+}
+
+// Consume one pass's kernel results: res_t is the (8, Bp) int32 output
+// matrix [score, qle, tle, gtle, gscore, max_off, aw, 0].  For k=0 the
+// current task list shrinks to the non-converged retry subset and its
+// size is returned; for k=1 returns 0.
+int64_t mp_pass_done(void* h, int64_t k, const int32_t* res_t, int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  std::vector<std::pair<int32_t, int32_t>> retry;
+  for (size_t slot = 0; slot < mp.cur.size(); ++slot) {
+    TaskC& t = mp.per[mp.cur[slot].first].tasks[mp.cur[slot].second];
+    ExtRes r;
+    r.score = res_t[0 * Bp + slot];
+    r.qle = res_t[1 * Bp + slot];
+    r.tle = res_t[2 * Bp + slot];
+    r.gtle = res_t[3 * Bp + slot];
+    r.gscore = res_t[4 * Bp + slot];
+    r.max_off = res_t[5 * Bp + slot];
+    t.res[k] = r;
+    if (k == 0) {
+      t.res[1] = r;  // default: converged tasks reuse pass 0
+      int64_t aw0 = o.w;
+      if (!(r.max_off < ((aw0 >> 1) + (aw0 >> 2))))
+        retry.push_back(mp.cur[slot]);
+    }
+  }
+  if (k == 0) {
+    mp.cur.swap(retry);
+    std::stable_sort(mp.cur.begin(), mp.cur.end(),
+                     [&](const std::pair<int32_t, int32_t>& x,
+                         const std::pair<int32_t, int32_t>& y) {
+                       return mp.per[x.first].tasks[x.second].tlen >
+                              mp.per[y.first].tasks[y.second].tlen;
+                     });
+  } else {
+    mp.cur.clear();
+  }
+  return (int64_t)mp.cur.size();
+}
+
+// Resolve left results into right-task h0 and make the right tasks the
+// current list.  Returns the task count.
+int64_t mp_prepare_right(void* h) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  mp.phase = 1;
+  mp.cur.clear();
+  for (int64_t ri = 0; ri < mp.n_reads; ++ri) {
+    PerRead& pr = mp.per[ri];
+    for (size_t ti = 0; ti < pr.tasks.size(); ++ti) {
+      TaskC& t = pr.tasks[ti];
+      if (t.side != 1) continue;
+      const SeedC& s = pr.chains[t.ci].seeds[t.si];
+      if (s.qbeg > 0) {
+        const TaskC& lt = pr.tasks[pr.tidx[t.ci][t.si * 2]];
+        t.h0 = resolve(o, lt, -1).score;
+      } else {
+        t.h0 = s.len * o.a;
+      }
+      mp.cur.push_back({(int32_t)ri, (int32_t)ti});
+    }
+  }
+  std::stable_sort(mp.cur.begin(), mp.cur.end(),
+                   [&](const std::pair<int32_t, int32_t>& x,
+                       const std::pair<int32_t, int32_t>& y) {
+                     return mp.per[x.first].tasks[x.second].tlen >
+                            mp.per[y.first].tasks[y.second].tlen;
+                   });
+  return (int64_t)mp.cur.size();
+}
+
+// Replay + regions + records for the whole chunk, threaded.
+// Returns the total number of SAM records.
+int64_t mp_finalize(void* h, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int nt = std::max((int)nthreads, 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t ri = next.fetch_add(1);
+      if (ri >= mp.n_reads) break;
+      finalize_read(mp, ri, mp.per[ri]);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  int64_t n = 0;
+  mp.rec_read.clear();
+  for (int64_t ri = 0; ri < mp.n_reads; ++ri) {
+    n += (int64_t)mp.per[ri].records.size();
+    for (size_t k = 0; k < mp.per[ri].records.size(); ++k)
+      mp.rec_read.push_back(ri);
+  }
+  return n;
+}
+
+// Total bytes needed for the string blob (cigar + md + xa per record,
+// each NUL-terminated).
+int64_t mp_blob_size(void* h) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int64_t n = 0;
+  for (const auto& pr : mp.per)
+    for (const auto& r : pr.records)
+      n += (int64_t)r.cigar.size() + r.md.size() + r.xa.size() + 3;
+  return n;
+}
+
+// fields: (n_records, 12) int64 rows
+// [read_idx, flag, rid, pos, mapq, nm, score(AS), sub(XS; -1 = absent),
+//  is_rev, cigar_len, md_len, xa_len]; strings packed into blob in
+// record order as cigar\0md\0xa\0.
+void mp_get_records(void* h, int64_t* fields, char* blob) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int64_t k = 0;
+  char* p = blob;
+  for (int64_t ri = 0; ri < mp.n_reads; ++ri) {
+    for (const auto& r : mp.per[ri].records) {
+      int64_t* f = fields + k * 12;
+      f[0] = ri;
+      f[1] = r.flag;
+      f[2] = r.rid;
+      f[3] = r.pos;
+      f[4] = r.mapq;
+      f[5] = r.nm;
+      f[6] = r.score;
+      f[7] = r.sub;
+      f[8] = r.is_rev ? 1 : 0;
+      f[9] = (int64_t)r.cigar.size();
+      f[10] = (int64_t)r.md.size();
+      f[11] = (int64_t)r.xa.size();
+      std::memcpy(p, r.cigar.c_str(), r.cigar.size() + 1);
+      p += r.cigar.size() + 1;
+      std::memcpy(p, r.md.c_str(), r.md.size() + 1);
+      p += r.md.size() + 1;
+      std::memcpy(p, r.xa.c_str(), r.xa.size() + 1);
+      p += r.xa.size() + 1;
+      ++k;
+    }
+  }
+}
+
+// PE support: run replay only (no records) and export the deduped,
+// score-sorted regions per read.  Counts first, then rows.
+int64_t mp_region_count(void* h, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int nt = std::max((int)nthreads, 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t ri = next.fetch_add(1);
+      if (ri >= mp.n_reads) break;
+      replay_read(mp, ri, mp.per[ri]);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  int64_t n = 0;
+  for (const auto& pr : mp.per) n += (int64_t)pr.regions.size();
+  return n;
+}
+
+// rows: (n_regions, 10) int64
+// [read_idx, rb, re, qb, qe, score, truesc, w, seedcov, seedlen0]
+void mp_export_regions(void* h, int64_t* rows) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int64_t k = 0;
+  for (int64_t ri = 0; ri < mp.n_reads; ++ri) {
+    for (const auto& r : mp.per[ri].regions) {
+      int64_t* f = rows + k * 10;
+      f[0] = ri;
+      f[1] = r.rb;
+      f[2] = r.re;
+      f[3] = r.qb;
+      f[4] = r.qe;
+      f[5] = r.score;
+      f[6] = r.truesc;
+      f[7] = r.w;
+      f[8] = r.seedcov;
+      f[9] = r.seedlen0;
+      ++k;
+    }
+  }
+}
+
+void mp_chunk_end(void* h) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  mp.per.clear();
+  mp.qlen.clear();
+  mp.cur.clear();
+  mp.rec_read.clear();
+  mp.reads = nullptr;
+  mp.n_reads = 0;
+}
+
+}  // extern "C"

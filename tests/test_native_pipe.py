@@ -1,0 +1,164 @@
+"""Parity: the native C++ host pipeline (csrc/mempipe.cpp via
+pipeline/native_driver.py) must produce byte-identical SAM to the
+Python driver path (pipeline/driver.align_batch), which itself is
+pinned to the scalar bwa-0.7.8 oracle by tests/test_driver.py."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bwamem_tpu.config import MemOptions
+from bwamem_tpu.index.build import build_index
+from bwamem_tpu.index.occ_packed import pack_occ
+from bwamem_tpu.io.fasta import Contig, Reference
+from bwamem_tpu.ops.extend_jax import ExtendParams, extend_batch_core
+from bwamem_tpu.pipeline import native_driver
+from bwamem_tpu.pipeline.align import revcomp_read
+from bwamem_tpu.pipeline.driver import align_batch
+
+pytestmark = pytest.mark.skipif(not native_driver.available(),
+                                reason="native library unavailable")
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(42)
+    # two contigs to exercise rid resolution and junction logic
+    pac = rng.integers(0, 4, 120000).astype(np.uint8)
+    ref = Reference(contigs=[Contig("chrA", 0, 70000),
+                             Contig("chrB", 70000, 50000)], pac=pac)
+    fm = build_index(pac)
+    po = pack_occ(fm)
+    return ref, fm, po, rng
+
+
+def make_reads(rng, ref, n, read_len=120):
+    reads, names, quals = [], [], []
+    for i in range(n):
+        pos = int(rng.integers(0, ref.l_pac - read_len - 20))
+        r = ref.pac[pos:pos + read_len].astype(np.int64).copy()
+        kind = i % 5
+        if kind == 1:  # substitutions
+            for _ in range(4):
+                p = int(rng.integers(0, read_len))
+                r[p] = (r[p] + 1 + rng.integers(0, 3)) % 4
+        elif kind == 2:  # deletion in read
+            d = int(rng.integers(1, 6))
+            p = int(rng.integers(10, read_len - 10 - d))
+            r = np.concatenate([r[:p], r[p + d:]])
+        elif kind == 3:  # insertion in read
+            ins = rng.integers(0, 4, int(rng.integers(1, 5)))
+            p = int(rng.integers(10, read_len - 10))
+            r = np.concatenate([r[:p], ins, r[p:]])
+        elif kind == 4:  # junk / N-heavy (likely unmapped)
+            if i % 10 == 4:
+                r = rng.integers(0, 4, read_len).astype(np.int64)
+            else:
+                r[::3] = 4
+        if rng.random() < 0.5:
+            r = revcomp_read(r)
+        reads.append(r)
+        names.append(f"r{i}")
+        quals.append("".join(chr(33 + int(x))
+                             for x in rng.integers(20, 40, len(r))))
+    return reads, names, quals
+
+
+def _backends(opt):
+    params = ExtendParams(
+        mat_flat=jnp.asarray(opt.mat.astype(np.int32).ravel()), m=5,
+        o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+        e_ins=opt.e_ins, zdrop=opt.zdrop)
+    row_fn = jax.jit(lambda *a: extend_batch_core(*a, params))
+    raw_t_fn = native_driver.make_jax_raw_t_backend(params)
+    return row_fn, raw_t_fn
+
+
+def _compare(opt, world, n_reads, nthreads=1):
+    ref, fm, po, rng = world
+    reads, names, quals = make_reads(rng, ref, n_reads)
+    row_fn, raw_t_fn = _backends(opt)
+    want = align_batch(opt, ref, fm, reads, row_fn, names=names,
+                       quals=quals, po=po)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po,
+                                        nthreads=nthreads)
+    got = pipe.align_chunk(reads, raw_t_fn, names=names, quals=quals)
+    want_lines = [[r.line() for r in rr] for rr in want]
+    got_lines = [[r.line() for r in rr] for rr in got]
+    for i, (w, g) in enumerate(zip(want_lines, got_lines)):
+        assert w == g, (i, w, g)
+
+
+def test_sam_identical_defaults(world):
+    _compare(MemOptions(), world, 40)
+
+
+def test_sam_identical_no_a_xa(world):
+    """-a off: XA tags and secondary suppression."""
+    _compare(MemOptions(flag_a=False), world, 40)
+
+
+def test_sam_identical_hard_clip(world):
+    """-M off: supplementary records with hard clips."""
+    _compare(MemOptions(flag_M=False), world, 40)
+
+
+def test_sam_identical_threaded(world):
+    _compare(MemOptions(), world, 60, nthreads=4)
+
+
+def test_pe_native_regions_identical(world):
+    """align_pairs through the native regions path == the Python path."""
+    from bwamem_tpu.pipeline.pair import align_pairs
+
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = [], []
+    for i in range(16):
+        pos = int(rng.integers(0, ref.l_pac - 500))
+        isize = 300 + int(rng.integers(-30, 30))
+        r1 = ref.pac[pos:pos + 100].astype(np.int64)
+        r2 = revcomp_read(
+            ref.pac[pos + isize - 100:pos + isize].astype(np.int64))
+        r1s.append(r1)
+        r2s.append(r2)
+    row_fn, raw_t_fn = _backends(opt)
+    want = align_pairs(opt, ref, fm, r1s, r2s, po=po,
+                       extend_batch_fn=row_fn)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po)
+    got = align_pairs(opt, ref, fm, r1s, r2s, po=po,
+                      native_pipe=pipe, raw_t_fn=raw_t_fn)
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
+def test_regions_match_compute_regions(world):
+    """regions_chunk == the Python compute_regions pipeline (PE input)."""
+    from bwamem_tpu.pipeline.align import compute_regions
+    from bwamem_tpu.pipeline.chain import chain_reads_batch
+    from bwamem_tpu.pipeline.driver import (
+        extension_tables,
+        table_extend_fn,
+    )
+
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    reads, _, _ = make_reads(rng, ref, 30)
+    row_fn, raw_t_fn = _backends(opt)
+    chains = chain_reads_batch(fm, po, reads, opt)
+    tables = extension_tables(opt, ref, reads, chains, row_fn)
+    want = [
+        compute_regions(opt, ref, fm, r, table_extend_fn(tables[i]),
+                        chains=chains[i])
+        for i, r in enumerate(reads)
+    ]
+    pipe = native_driver.NativePipeline(opt, ref, fm, po)
+    got = pipe.regions_chunk(reads, raw_t_fn)
+    for i, (w, g) in enumerate(zip(want, got)):
+        wt = [(r.rb, r.re, r.qb, r.qe, r.score, r.truesc, r.w, r.seedcov,
+               r.seedlen0) for r in w]
+        gt = [(r.rb, r.re, r.qb, r.qe, r.score, r.truesc, r.w, r.seedcov,
+               r.seedlen0) for r in g]
+        assert wt == gt, i
