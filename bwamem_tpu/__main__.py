@@ -107,7 +107,7 @@ def make_raw_t_backend(opt, backend: str):
 
 def cmd_mem(args) -> int:
     from bwamem_tpu.config import MemOptions
-    from bwamem_tpu.io.fastq import read_fastq
+    from bwamem_tpu.io.fastq import iter_fastq_chunks
     from bwamem_tpu.io.sam import sam_header
     from bwamem_tpu.pipeline import align as A
     from bwamem_tpu.pipeline import native_driver
@@ -120,19 +120,21 @@ def cmd_mem(args) -> int:
     from bwamem_tpu.index.occ_packed import pack_occ
 
     po = pack_occ(fm)
-    reads = read_fastq(args.reads)
-    mates = read_fastq(args.mates) if args.mates else None
+    # streaming chunked ingest: WGS inputs never fully materialize
+    chunks = iter_fastq_chunks(args.reads, args.b)
+    mate_chunks = (iter_fastq_chunks(args.mates, args.b)
+                   if args.mates else None)
     out = sys.stdout
     out.write(sam_header(ref.contigs, rg_line=args.R,
                          pg_cl=" ".join(sys.argv)))
     n_rec = 0
+    n_reads = 0
     use_native = (args.host != "python" and args.backend != "scalar"
                   and native_driver.available())
     if args.host == "native" and not use_native:
         sys.stderr.write("[mem] --host native unavailable; "
                          "falling back to python host\n")
-    if mates is not None:
-        assert len(reads) == len(mates), "read/mate count mismatch"
+    if mate_chunks is not None:
         if use_native:
             raw_t_fn = make_raw_t_backend(opt, args.backend)
             pipe = native_driver.NativePipeline(opt, ref, fm, po,
@@ -141,9 +143,9 @@ def cmd_mem(args) -> int:
                                         raw_t_fn=raw_t_fn)
         else:
             backend_fn, kw = make_extend_backend(opt, args.backend), {}
-        for i in range(0, len(reads), args.b):
-            chunk = reads[i:i + args.b]
-            mchunk = mates[i:i + args.b]
+        for chunk, mchunk in zip(chunks, mate_chunks):
+            assert len(chunk) == len(mchunk), "read/mate count mismatch"
+            n_reads += len(chunk) * 2
             recs = align_pairs(
                 opt, ref, fm,
                 [r.seq.astype(np.int64) for r in chunk],
@@ -176,8 +178,9 @@ def cmd_mem(args) -> int:
 
         with ThreadPoolExecutor(max_workers=2) as ex:
             futs: deque = deque()
-            for ci, i in enumerate(range(0, len(reads), args.b)):
-                futs.append(ex.submit(run_chunk, ci, reads[i:i + args.b]))
+            for ci, chunk in enumerate(chunks):
+                n_reads += len(chunk)
+                futs.append(ex.submit(run_chunk, ci, chunk))
                 while len(futs) >= 2:
                     for rr in futs.popleft().result():
                         for rec in rr:
@@ -190,8 +193,8 @@ def cmd_mem(args) -> int:
                         n_rec += 1
     else:
         backend_fn = make_extend_backend(opt, args.backend)
-        for i in range(0, len(reads), args.b):
-            chunk = reads[i:i + args.b]
+        for chunk in chunks:
+            n_reads += len(chunk)
             if backend_fn is None:
                 all_recs = [
                     A.align_read(opt, ref, fm, r.name,
@@ -207,7 +210,7 @@ def cmd_mem(args) -> int:
                 for rec in rr:
                     out.write(rec.line() + "\n")
                     n_rec += 1
-    sys.stderr.write(f"[mem] wrote {n_rec} records for {len(reads)} reads\n")
+    sys.stderr.write(f"[mem] wrote {n_rec} records for {n_reads} reads\n")
     return 0
 
 

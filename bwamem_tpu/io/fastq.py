@@ -65,11 +65,64 @@ def read_fastq(path: str) -> list[Read]:
     return list(parse_fastq(buf.decode()))
 
 
+def iter_fastq_chunks(path: str, chunk_reads: int,
+                      block_bytes: int = 1 << 23) -> Iterator[list[Read]]:
+    """Stream a (strict 4-line) FASTQ file in bounded memory, yielding
+    lists of `chunk_reads` reads — the WGS-scale ingest path (the
+    reference host streams reads the same way; whole-file slurping is
+    kept only for small inputs/tests).  FASTA input (multi-line
+    records) falls back to a whole-file parse."""
+    with open(path, "rb") as f:
+        head = f.read(1)
+        if head != b"@":  # FASTA or empty: no 4-line framing
+            buf = head + f.read()
+            reads = _read_fastq_native(buf)
+            if reads is None:
+                reads = list(parse_fastq(buf.decode()))
+            for i in range(0, len(reads), chunk_reads):
+                yield reads[i:i + chunk_reads]
+            return
+        carry = b"@"
+        pending: list[Read] = []
+        while True:
+            block = f.read(block_bytes)
+            if not block:
+                break
+            buf = carry + block
+            arr = np.frombuffer(buf, np.uint8)
+            nls = np.flatnonzero(arr == 10)
+            full = len(nls) // 4 * 4
+            if full == 0:
+                carry = buf
+                continue
+            pos = int(nls[full - 1]) + 1
+            span, carry = buf[:pos], buf[pos:]
+            pending.extend(_parse_span(span))
+            while len(pending) >= chunk_reads:
+                yield pending[:chunk_reads]
+                pending = pending[chunk_reads:]
+        if carry.strip():
+            if not carry.endswith(b"\n"):
+                carry += b"\n"
+            pending.extend(_parse_span(carry))
+        while pending:
+            yield pending[:chunk_reads]
+            pending = pending[chunk_reads:]
+
+
+def _parse_span(span: bytes) -> list[Read]:
+    reads = _read_fastq_native(span)
+    if reads is None:
+        reads = list(parse_fastq(span.decode()))
+    return reads
+
+
 def _read_fastq_native(buf: bytes) -> list[Read] | None:
     """csrc/fastq.cpp single-pass scanner + vectorized base encoding."""
     from bwamem_tpu import native
 
-    got = native.fastq_scan(buf)
+    per_rec = 4 if buf[:1] == b"@" else 2  # FASTQ: 4 lines; FASTA: >= 2
+    got = native.fastq_scan(buf, max_rec=buf.count(b"\n") // per_rec + 8)
     if got is None:
         return None
     n, off = got

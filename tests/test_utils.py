@@ -53,6 +53,35 @@ def test_native_fastq_scan_matches_python(tmp_path):
         assert g.qual == w.qual
 
 
+def test_iter_fastq_chunks_streaming(tmp_path):
+    """Chunked streaming ingest == whole-file parse, across block
+    boundaries that split records."""
+    from bwamem_tpu.io.fastq import iter_fastq_chunks, read_fastq
+
+    rng = np.random.default_rng(3)
+    recs = []
+    for i in range(257):
+        n = int(rng.integers(30, 90))
+        seq = "".join("ACGTN"[c] for c in rng.integers(0, 5, n))
+        q = "".join(chr(33 + int(c)) for c in rng.integers(0, 40, n))
+        recs.append(f"@read{i} c{i}\n{seq}\n+\n{q}\n")
+    text = "".join(recs)
+    p = tmp_path / "s.fq"
+    p.write_text(text[:-1])  # no trailing newline: edge case
+    want = read_fastq(str(p))
+    # tiny blocks force many record-splitting boundaries
+    got = [r for chunk in iter_fastq_chunks(str(p), 50, block_bytes=999)
+           for r in chunk]
+    assert len(got) == len(want) == 257
+    for g, w in zip(got, want):
+        assert g.name == w.name
+        assert np.array_equal(g.seq, w.seq)
+        assert g.qual == w.qual
+    sizes = [len(c) for c in iter_fastq_chunks(str(p), 100,
+                                               block_bytes=1 << 12)]
+    assert sizes == [100, 100, 57]
+
+
 def test_pack_tasks_soa():
     from bwamem_tpu.pipeline.tasks import pack_tasks
 
