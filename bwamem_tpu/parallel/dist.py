@@ -1,27 +1,30 @@
 """Multi-chip data parallelism for the aligner.
 
 The reference scales by replicating PE arrays behind private double
-buffers, scheduled round-robin by batch_manager (SURVEY.md §2.1 items
-1-2).  The TPU analogue: a `jax.sharding.Mesh` with a "data" axis; task
-batches are sharded along the batch dimension (each chip = one giant PE
-array), scoring parameters are replicated, and per-read result merging
-(max over candidate alignments for MAPQ/XS, which needs all scores of a
-read — SURVEY.md §7 "hard parts") runs as ICI collectives inside
-shard_map rather than host gathers.
+buffers, scheduled round-robin by batch_manager
+(/root/reference/batch_manager.v:994-1013; SURVEY.md §2.1 items 1-2).
+The TPU analogue: a `jax.sharding.Mesh` with a "data" axis; extension
+task batches are sharded along the batch (lane) dimension — each chip
+is one giant PE array — while the scoring parameters are replicated.
+Per-read data never crosses chips (a read's tasks stay in one shard,
+like a task stays inside one PE array), so the only collective is the
+result gather XLA inserts for the replicated output layout.
 
-Reads-per-chip placement keeps a read's seeds on one chip (like the
-reference keeps a task inside one PE array), so the merge collective is
-only needed for cross-chip statistics, not per-read data.
-"""
+`make_sharded_raw_t_backend` wraps the PRODUCTION Pallas kernel
+(ops/extend_pallas.extend_batch_raw_t) in shard_map: the same bytes
+that run single-chip run per-shard, and the native host pipeline
+(pipeline/native_driver.NativePipeline) consumes it unchanged — pass it
+as `raw_t_fn` and the whole aligner runs data-parallel.
+tests/test_dist.py pins sharded SAM == single-device SAM on an
+8-device CPU mesh."""
 
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bwamem_tpu.ops.extend_jax import ExtendOut, ExtendParams, extend_batch
+from bwamem_tpu.ops.extend_jax import ExtendParams
 
 
 def make_mesh(devices=None, axis: str = "data") -> Mesh:
@@ -29,37 +32,44 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def extend_sharded(mesh: Mesh, params: ExtendParams):
-    """Build a jitted, data-parallel two-pass extension step.
+def make_sharded_raw_t_backend(mesh: Mesh, params: ExtendParams, *,
+                               blk_l: int = 512, interpret: bool = False):
+    """Data-parallel transposed-layout extension backend.
 
-    Returns fn(query, qlen, target, tlen, w, h0, max_ins, max_del)
-    -> (ExtendOut, stats) where all (B, ...) inputs are sharded on the
-    batch axis and stats = (total_best_score, n_improved) reduced over
-    the whole mesh with psum (the result-merge collective path).
-    """
+    Returns raw_t(query_t, target_t, scal_t, tmaxb) -> (8, Bp) numpy,
+    the exact contract of native_driver's device backends, with the
+    task axis sharded over the mesh.  Bp must be a multiple of
+    `raw_t.bp_quantum` (= blk_l * n_devices); NativePipeline reads the
+    attribute and pads its batches accordingly.  `interpret=True` runs
+    the kernel in Pallas interpret mode (CPU meshes / tests)."""
+    from bwamem_tpu.ops.extend_pallas import extend_batch_raw_t
+
     axis = mesh.axis_names[0]
-    dp = P(axis)
+    n_dev = int(mesh.devices.size)
 
-    def local_step(query, qlen, target, tlen, w, h0, max_ins, max_del):
-        out = extend_batch(query, qlen, target, tlen, w, h0,
-                           max_ins, max_del, params)
-        improved = (out.score > h0).astype(jnp.int32)
-        local_sum = jnp.sum(out.score)
-        local_n = jnp.sum(improved)
-        tot = jax.lax.psum(local_sum, axis)
-        n = jax.lax.psum(local_n, axis)
-        return out, (tot, n)
+    def local(tmaxb, query_t, target_t, scal_t):
+        return extend_batch_raw_t(query_t, target_t, scal_t, tmaxb,
+                                  params, blk_l=blk_l, interpret=interpret)
 
-    shard_fn = jax.shard_map(
-        local_step,
+    fn = jax.jit(jax.shard_map(
+        local,
         mesh=mesh,
-        in_specs=(dp, dp, dp, dp, dp, dp, dp, dp),
-        out_specs=(ExtendOut(*([dp] * 7)), (P(), P())),
-        # the while_loop carry mixes replicated init values with sharded
-        # inputs; skip the varying-manual-axes consistency check
+        in_specs=(P(axis), P(None, axis), P(None, axis), P(None, axis)),
+        out_specs=P(None, axis),
+        # pallas_call's out_shape (ShapeDtypeStruct) carries no vma
+        # annotation, which the varying-manual-axes checker requires;
+        # the sharding here is plain batch-dim data parallelism with no
+        # cross-shard communication, so the check adds nothing
         check_vma=False,
-    )
-    return jax.jit(shard_fn)
+    ))
+
+    def raw_t(query_t, target_t, scal_t, tmaxb):
+        Bp = query_t.shape[1]
+        assert Bp % (blk_l * n_dev) == 0, (Bp, blk_l, n_dev)
+        return np.asarray(fn(tmaxb, query_t, target_t, scal_t))
+
+    raw_t.bp_quantum = blk_l * n_dev
+    return raw_t
 
 
 def shard_batch(mesh: Mesh, arrays):

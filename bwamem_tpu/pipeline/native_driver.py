@@ -124,6 +124,10 @@ class NativePipeline:
             tmax = _bucket(max(int(tmax_r.value), 1))
             Bp = _bucket(max(B, self.blk_l),
                          (512, 1024, 2048, 4096, 8192, 16384))
+            # sharded backends need Bp % (blk_l * n_devices) == 0
+            q = getattr(raw_t_fn, "bp_quantum", self.blk_l)
+            if Bp % q:
+                Bp = -(-Bp // q) * q
             query_t = np.zeros((qmax, Bp), np.int32)
             target_t = np.zeros((tmax, Bp), np.int32)
             scal_t = np.zeros((8, Bp), np.int32)

@@ -1,0 +1,109 @@
+"""Multi-chip data parallelism: the production extension path sharded
+over a mesh must produce byte-identical SAM to the single-device path.
+
+Runs in a subprocess so the 8-device virtual CPU platform
+(xla_force_host_platform_device_count) is configured before any
+backend initialization — the in-process suite already owns a 1-device
+CPU backend."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from bwamem_tpu.pipeline import native_driver
+
+pytestmark = pytest.mark.skipif(not native_driver.available(),
+                                reason="native library unavailable")
+
+_SCRIPT = r"""
+import os, sys
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, jax.devices()
+
+import jax.numpy as jnp
+from bwamem_tpu.config import MemOptions
+from bwamem_tpu.index.build import build_index
+from bwamem_tpu.index.occ_packed import pack_occ
+from bwamem_tpu.io.fasta import Contig, Reference
+from bwamem_tpu.ops.extend_jax import ExtendParams
+from bwamem_tpu.ops.extend_pallas import extend_batch_raw_t
+from bwamem_tpu.parallel.dist import make_mesh, make_sharded_raw_t_backend
+from bwamem_tpu.pipeline.align import revcomp_read
+from bwamem_tpu.pipeline import native_driver
+
+opt = MemOptions()
+params = ExtendParams(
+    mat_flat=jnp.asarray(opt.mat.astype(np.int32).ravel()), m=5,
+    o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+    e_ins=opt.e_ins, zdrop=opt.zdrop)
+
+mesh = make_mesh(jax.devices())
+BLK = 16  # small blocks keep the interpret-mode kernel fast
+
+# 1) kernel-level: sharded == unsharded on a random batch
+rng = np.random.default_rng(0)
+Bp = BLK * 8 * 2
+qmax, tmax = 32, 64
+query_t = rng.integers(0, 4, (qmax, Bp)).astype(np.int32)
+target_t = rng.integers(0, 4, (tmax, Bp)).astype(np.int32)
+scal_t = np.zeros((8, Bp), np.int32)
+scal_t[0] = rng.integers(5, qmax, Bp)
+scal_t[1] = rng.integers(5, tmax, Bp)
+scal_t[2] = 10
+scal_t[3] = rng.integers(1, 40, Bp)
+tmaxb = np.full(Bp // BLK, tmax, np.int32)
+want = np.asarray(extend_batch_raw_t(
+    jnp.asarray(query_t), jnp.asarray(target_t), jnp.asarray(scal_t),
+    jnp.asarray(tmaxb), params, blk_l=BLK, interpret=True))
+sharded = make_sharded_raw_t_backend(mesh, params, blk_l=BLK,
+                                     interpret=True)
+got = sharded(query_t, target_t, scal_t, tmaxb)
+assert np.array_equal(want, got), "kernel mismatch under shard_map"
+print("kernel sharded == unsharded: ok")
+
+# 2) end-to-end: full aligner through the sharded backend
+pac = rng.integers(0, 4, 40000).astype(np.uint8)
+ref = Reference(contigs=[Contig("c1", 0, 40000)], pac=pac)
+fm = build_index(pac)
+po = pack_occ(fm)
+reads = []
+for i in range(24):
+    pos = int(rng.integers(0, 40000 - 130))
+    r = pac[pos:pos + 120].astype(np.int64).copy()
+    for _ in range(3):
+        p = int(rng.integers(0, 120))
+        r[p] = (r[p] + 1) % 4
+    if i % 2:
+        r = revcomp_read(r)
+    reads.append(r)
+
+single = native_driver.make_raw_t_backend(params, blk_l=BLK,
+                                          interpret=True)
+pipe1 = native_driver.NativePipeline(opt, ref, fm, po, blk_l=BLK)
+want_sam = [[r.line() for r in rr]
+            for rr in pipe1.align_chunk(reads, single)]
+pipe8 = native_driver.NativePipeline(opt, ref, fm, po, blk_l=BLK)
+got_sam = [[r.line() for r in rr]
+           for rr in pipe8.align_chunk(reads, sharded)]
+assert want_sam == got_sam, "SAM mismatch under mesh sharding"
+print("e2e sharded SAM == single-device SAM: ok")
+"""
+
+
+def test_sharded_extension_8dev_cpu_mesh():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", ""))
+    r = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + "\n" + r.stderr
+    assert "e2e sharded SAM == single-device SAM: ok" in r.stdout
