@@ -7,7 +7,15 @@ Baseline: the reference FPGA's derived peak is 13-16 GCUPS (80 PEs x
 167-200 MHz, 1 cell/cycle — BASELINE.md); we normalise against 15.
 
 GCUPS counts *band* cells (tlen x min(qlen, 2w+1) per task), the same
-cells the reference actually computes — not the full DP matrix.
+cells the reference actually computes — not the full DP matrix.  The
+timed kernel runs with early_exit=False so every counted row is
+actually executed (no credit for rows the early-exit path skips).
+
+Before timing, a correctness gate fuzz-checks the production-compiled
+Mosaic kernel (early_exit on, the config the aligner ships) against the
+scalar bwa-0.7.8 oracle `ksw_extend_core` on variable-length tasks —
+the bench aborts on any mismatch, so a BENCH number implies the
+on-device kernel passed the gate.
 """
 
 import json
@@ -56,8 +64,44 @@ def main():
     args = (jnp.asarray(query.T.copy()), jnp.asarray(target.T.copy()),
             jnp.asarray(scal.T.copy()), jnp.asarray(tmax))
 
-    fn = jax.jit(
+    # --- correctness gate: compiled Mosaic kernel vs scalar oracle ---
+    from bwamem_tpu.ops.extend_ref import ksw_extend_core
+
+    gate_fn = jax.jit(
         lambda *a: extend_pallas.extend_batch_raw_t(*a, params, blk_l=BLK))
+    g_qlen = rng.integers(5, QLEN + 1, B).astype(np.int32)
+    g_tlen = rng.integers(5, TLEN + 1, B).astype(np.int32)
+    g_h0 = rng.integers(1, 60, B).astype(np.int32)
+    g_aw = rng.integers(5, W + 1, B).astype(np.int32)
+    g_scal, g_tmax = extend_pallas.pack_scal(g_qlen, g_tlen, g_aw, g_h0,
+                                             blk_b=BLK)
+    g_out = np.asarray(gate_fn(
+        jnp.asarray(query.T.copy()), jnp.asarray(target.T.copy()),
+        jnp.asarray(g_scal.T.copy()), jnp.asarray(g_tmax)))
+    n_bad = 0
+    for i in rng.choice(B, 48, replace=False):
+        want = ksw_extend_core(
+            query[i, :g_qlen[i]], target[i, :g_tlen[i]], opt.mat,
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            w=int(g_aw[i]), h0=int(g_h0[i]), zdrop=0)
+        got = tuple(int(g_out[f, i]) for f in range(6))
+        exp = (want.score, want.qle, want.tle, want.gtle, want.gscore,
+               want.max_off)
+        if got != exp:
+            n_bad += 1
+            print(f"[gate] task {i} mismatch: kernel {got} != oracle "
+                  f"{exp}", file=sys.stderr)
+    if n_bad:
+        raise AssertionError(
+            f"Mosaic kernel failed the on-device correctness gate "
+            f"({n_bad}/48 tasks)")
+    print("[gate] Mosaic kernel == ksw_extend_core on 48/48 fuzz tasks",
+          file=sys.stderr)
+
+    # --- timed kernel: early_exit off so counted cells == executed ---
+    fn = jax.jit(
+        lambda *a: extend_pallas.extend_batch_raw_t(
+            *a, params, blk_l=BLK, early_exit=False))
     out = fn(*args)
     out.block_until_ready()  # compile
     n_iter = 10

@@ -129,6 +129,16 @@ def cmd_mem(args) -> int:
                          pg_cl=" ".join(sys.argv)))
     n_rec = 0
     n_reads = 0
+    tracer = None
+    if args.trace:
+        from bwamem_tpu.utils.metrics import Tracer
+
+        tracer = Tracer(args.trace)
+    manifest = None
+    if args.resume:
+        from bwamem_tpu.utils.checkpoint import Manifest, ReadRange
+
+        manifest = Manifest(args.resume)
     use_native = (args.host != "python" and args.backend != "scalar"
                   and native_driver.available())
     if args.host == "native" and not use_native:
@@ -138,14 +148,20 @@ def cmd_mem(args) -> int:
         if use_native:
             raw_t_fn = make_raw_t_backend(opt, args.backend)
             pipe = native_driver.NativePipeline(opt, ref, fm, po,
-                                                nthreads=args.t)
+                                                nthreads=args.t,
+                                                tracer=tracer)
             backend_fn, kw = None, dict(native_pipe=pipe,
                                         raw_t_fn=raw_t_fn)
         else:
             backend_fn, kw = make_extend_backend(opt, args.backend), {}
         for chunk, mchunk in zip(chunks, mate_chunks):
             assert len(chunk) == len(mchunk), "read/mate count mismatch"
+            start = n_reads // 2
             n_reads += len(chunk) * 2
+            if manifest is not None:
+                rr = ReadRange(0, start, start + len(chunk))
+                if manifest.is_done(rr):
+                    continue
             recs = align_pairs(
                 opt, ref, fm,
                 [r.seq.astype(np.int64) for r in chunk],
@@ -154,10 +170,12 @@ def cmd_mem(args) -> int:
                 quals1=[r.qual for r in chunk],
                 quals2=[m.qual for m in mchunk], po=po,
                 extend_batch_fn=backend_fn, **kw)
-            for rr in recs:
-                for rec in rr:
+            for rr_ in recs:
+                for rec in rr_:
                     out.write(rec.line() + "\n")
                     n_rec += 1
+            if manifest is not None:
+                manifest.mark_done(rr)
     elif use_native:
         # TBB-style double buffering: two pipeline handles, chunk n+1's
         # host work (C++, GIL-free) overlaps chunk n's device phases
@@ -167,7 +185,8 @@ def cmd_mem(args) -> int:
 
         raw_t_fn = make_raw_t_backend(opt, args.backend)
         pipes = [native_driver.NativePipeline(opt, ref, fm, po,
-                                              nthreads=args.t)
+                                              nthreads=args.t,
+                                              tracer=tracer)
                  for _ in range(2)]
 
         def run_chunk(ci, chunk):
@@ -176,25 +195,42 @@ def cmd_mem(args) -> int:
                 names=[r.name for r in chunk],
                 quals=[r.qual for r in chunk])
 
+        def flush_one(futs):
+            nonlocal n_rec
+            rng_, fut = futs.popleft()
+            for rr in fut.result():
+                for rec in rr:
+                    out.write(rec.line() + "\n")
+                    n_rec += 1
+            if manifest is not None:
+                manifest.mark_done(rng_)
+
         with ThreadPoolExecutor(max_workers=2) as ex:
             futs: deque = deque()
-            for ci, chunk in enumerate(chunks):
+            submitted = 0
+            for chunk in chunks:
+                start = n_reads
                 n_reads += len(chunk)
-                futs.append(ex.submit(run_chunk, ci, chunk))
+                rng_ = None
+                if manifest is not None:
+                    rng_ = ReadRange(0, start, start + len(chunk))
+                    if manifest.is_done(rng_):
+                        continue
+                futs.append((rng_, ex.submit(run_chunk, submitted, chunk)))
+                submitted += 1
                 while len(futs) >= 2:
-                    for rr in futs.popleft().result():
-                        for rec in rr:
-                            out.write(rec.line() + "\n")
-                            n_rec += 1
+                    flush_one(futs)
             while futs:
-                for rr in futs.popleft().result():
-                    for rec in rr:
-                        out.write(rec.line() + "\n")
-                        n_rec += 1
+                flush_one(futs)
     else:
         backend_fn = make_extend_backend(opt, args.backend)
         for chunk in chunks:
+            start = n_reads
             n_reads += len(chunk)
+            if manifest is not None:
+                rr = ReadRange(0, start, start + len(chunk))
+                if manifest.is_done(rr):
+                    continue
             if backend_fn is None:
                 all_recs = [
                     A.align_read(opt, ref, fm, r.name,
@@ -206,11 +242,20 @@ def cmd_mem(args) -> int:
                     [r.seq.astype(np.int64) for r in chunk], backend_fn,
                     names=[r.name for r in chunk],
                     quals=[r.qual for r in chunk], po=po)
-            for rr in all_recs:
-                for rec in rr:
+            for rr_ in all_recs:
+                for rec in rr_:
                     out.write(rec.line() + "\n")
                     n_rec += 1
+            if manifest is not None:
+                manifest.mark_done(rr)
     sys.stderr.write(f"[mem] wrote {n_rec} records for {n_reads} reads\n")
+    if tracer is not None:
+        import json as _json
+
+        sys.stderr.write(
+            "[mem] counters: " + _json.dumps(tracer.counters.as_dict())
+            + "\n")
+        tracer.close()
     return 0
 
 
@@ -244,6 +289,12 @@ def main(argv=None) -> int:
     mem.add_argument("--backend", default="scalar",
                      choices=["scalar", "jax", "pallas"],
                      help="extension backend (ASE/Direct analogue)")
+    mem.add_argument("--trace", default=None, metavar="OUT.jsonl",
+                     help="per-batch device trace (transaction.tsv "
+                          "analogue) + counters summary")
+    mem.add_argument("--resume", default=None, metavar="MANIFEST.jsonl",
+                     help="checkpoint manifest: completed chunks are "
+                          "skipped, finished chunks appended")
     mem.set_defaults(fn=cmd_mem)
 
     args = ap.parse_args(argv)

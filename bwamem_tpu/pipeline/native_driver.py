@@ -43,7 +43,7 @@ class NativePipeline:
     per-batch entry point."""
 
     def __init__(self, opt: MemOptions, ref: Reference, fm, po,
-                 nthreads: int = 1, blk_l: int = 512):
+                 nthreads: int = 1, blk_l: int = 512, tracer=None):
         lib = native.get_lib()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -52,6 +52,8 @@ class NativePipeline:
         self.ref = ref
         self.nthreads = max(int(nthreads), 1)
         self.blk_l = blk_l
+        self.tracer = tracer  # utils.metrics.Tracer (the DSM/perf-counter
+        #                       analogue, bwa_mem_sw.v:93-101); None = off
         # keep every array alive for the lifetime of the handle
         self._opt_i = np.array([
             opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
@@ -108,10 +110,12 @@ class NativePipeline:
         if rc != 0:
             raise RuntimeError("mp_chunk_start failed")
 
-    def _run_phase(self, raw_t_fn):
+    def _run_phase(self, raw_t_fn, label: str = ""):
         """Pass k=0 over the current task list, then the compacted k=1
         retry (the FPGA's internal band-doubling re-run,
         sw_extend.v:1963, re-batched)."""
+        import time
+
         for k in (0, 1):
             B = self.lib.mp_task_count(self.h)
             if B == 0:
@@ -139,19 +143,32 @@ class NativePipeline:
             tl = scal_t[1].reshape(grid, self.blk_l)
             vq = scal_t[0].reshape(grid, self.blk_l)
             tmaxb = np.max(np.where(vq > 0, tl, 0), axis=1).astype(np.int32)
+            t0 = time.time()
             out = np.ascontiguousarray(
                 np.asarray(raw_t_fn(query_t, target_t, scal_t, tmaxb)),
                 np.int32)
+            if self.tracer is not None:
+                from bwamem_tpu.utils.metrics import band_cells
+
+                self.tracer.batch(
+                    f"extend_{label}{k}", int(B),
+                    band_cells(scal_t[0], scal_t[1], scal_t[2]),
+                    time.time() - t0, Bp=Bp, qmax=qmax, tmax=tmax)
             nretry = self.lib.mp_pass_done(
                 self.h, k, out.ctypes.data_as(_P32), Bp)
             if nretry == 0:
                 return
 
     def _extend(self, reads, raw_t_fn):
+        import time
+
+        t0 = time.time()
         self._chunk_start(reads)
-        self._run_phase(raw_t_fn)
+        if self.tracer is not None:
+            self.tracer.host(len(reads), time.time() - t0)
+        self._run_phase(raw_t_fn, "L")
         self.lib.mp_prepare_right(self.h)
-        self._run_phase(raw_t_fn)
+        self._run_phase(raw_t_fn, "R")
 
     # -- single-end -------------------------------------------------------
 
@@ -159,9 +176,12 @@ class NativePipeline:
                     ) -> list[list[SamRecord]]:
         """Full single-end alignment of a chunk; returns per-read SAM
         records identical to driver.align_batch."""
+        import time
+
         names = names or [f"read{i}" for i in range(len(reads))]
         quals = quals or [None] * len(reads)
         self._extend(reads, raw_t_fn)
+        t_fin = time.time()
         nrec = self.lib.mp_finalize(self.h, self.nthreads)
         fields = np.zeros((max(nrec, 1), 12), np.int64)
         blob = ctypes.create_string_buffer(
@@ -183,6 +203,8 @@ class NativePipeline:
                 names[ri], reads[ri], quals[ri], flag, rid, pos, mapq,
                 cigar, nm, md, score, sub, bool(is_rev), xa))
         self.lib.mp_chunk_end(self.h)
+        if self.tracer is not None:
+            self.tracer.host(0, time.time() - t_fin)
         return out
 
     def _assemble(self, name, read, qual, flag, rid, pos, mapq, cigar,

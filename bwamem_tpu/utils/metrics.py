@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import threading
 import time
 
 
@@ -47,19 +48,26 @@ class Tracer:
     def __init__(self, path: str | None = None):
         self._f = open(path, "a") if path else None
         self.counters = Counters()
+        self._lock = threading.Lock()  # double-buffered chunks share one
 
     def batch(self, kind: str, n_tasks: int, band_cells: int,
               seconds: float, **extra) -> None:
-        self.counters.tasks += n_tasks
-        self.counters.band_cells += band_cells
-        self.counters.device_batches += 1
-        self.counters.device_seconds += seconds
-        if self._f:
-            self._f.write(json.dumps({
-                "t": round(time.time(), 3), "kind": kind,
-                "n_tasks": n_tasks, "cells": band_cells,
-                "sec": round(seconds, 6), **extra}) + "\n")
-            self._f.flush()
+        with self._lock:
+            self.counters.tasks += n_tasks
+            self.counters.band_cells += band_cells
+            self.counters.device_batches += 1
+            self.counters.device_seconds += seconds
+            if self._f:
+                self._f.write(json.dumps({
+                    "t": round(time.time(), 3), "kind": kind,
+                    "n_tasks": n_tasks, "cells": band_cells,
+                    "sec": round(seconds, 6), **extra}) + "\n")
+                self._f.flush()
+
+    def host(self, reads: int, seconds: float) -> None:
+        with self._lock:
+            self.counters.reads += reads
+            self.counters.host_seconds += seconds
 
     def close(self) -> None:
         if self._f:
