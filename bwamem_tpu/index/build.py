@@ -121,29 +121,46 @@ def build_index(pac: np.ndarray, sa_intv: int = 8) -> FMIndex:
     sa = suffix_array(text)
     # full SA including the sentinel row at index 0
     sa_full = np.concatenate([[n2], sa]).astype(np.int64)
+    del sa
     # BWT: char preceding each suffix; sentinel (code 5) at the primary row
-    bwt = np.empty(n2 + 1, np.uint8)
     prev = sa_full - 1
     primary = int(np.nonzero(sa_full == 0)[0][0])
     prev[primary] = 0  # placeholder, overwritten below
     bwt = text[prev].astype(np.uint8)
     bwt[primary] = 5
+    del prev
+    # sampled SA at row multiples of sa_intv; the full SA (the largest
+    # allocation, 8 bytes/row) is dead from here — at GRCh38 scale it is
+    # 50 GB and must not coexist with the Occ temporaries below
+    ssa = sa_full[::sa_intv].copy()
+    del sa_full
     # C array over codes 0..4 (sentinel occupies rank 0)
     counts = np.bincount(text, minlength=5)
     C = np.zeros(6, np.int64)
     C[0] = 1
     for c in range(1, 6):
         C[c] = C[c - 1] + counts[c - 1]
-    # Occ checkpoints
+    del text
+    # Occ checkpoints, built in bounded-memory chunks (a whole-array
+    # int64 cumsum is 8 bytes/symbol — 50 GB at GRCh38 scale)
     nblocks = (n2 + 1 + OCC_BLOCK - 1) // OCC_BLOCK
     occ_cp = np.zeros((5, nblocks + 1), np.int64)
-    for c in range(5):
-        is_c = (bwt == c).astype(np.int64)
-        csum = np.concatenate([[0], np.cumsum(is_c)])
-        idx = np.minimum(np.arange(nblocks + 1) * OCC_BLOCK, n2 + 1)
-        occ_cp[c] = csum[idx]
-    # sampled SA at row multiples of sa_intv
-    ssa = sa_full[::sa_intv].copy()
+    CHUNK_BLOCKS = 1 << 20  # 64 Msymbols per chunk
+    base = np.zeros(5, np.int64)
+    for b0 in range(0, nblocks, CHUNK_BLOCKS):
+        b1 = min(b0 + CHUNK_BLOCKS, nblocks)
+        s0, s1 = b0 * OCC_BLOCK, min(b1 * OCC_BLOCK, n2 + 1)
+        span = bwt[s0:s1]
+        pad = b1 * OCC_BLOCK - s0 - len(span)
+        if pad:
+            span = np.concatenate([span, np.full(pad, 5, np.uint8)])
+        blk = span.reshape(b1 - b0, OCC_BLOCK)
+        for c in range(5):
+            per = np.count_nonzero(blk == c, axis=1)
+            occ_cp[c, b0:b1] = base[c] + np.concatenate(
+                [[0], np.cumsum(per[:-1])])
+            base[c] += int(per.sum())
+    occ_cp[:, nblocks] = base
     return FMIndex(
         l_pac=l_pac, seq_len2=n2, primary=primary, C=C, bwt=bwt,
         occ_cp=occ_cp, sa_intv=sa_intv, ssa=ssa, pac=pac)

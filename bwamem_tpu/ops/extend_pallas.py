@@ -77,9 +77,8 @@ def _prefix_max_sub(x, sidx, qmax, neg):
     return x
 
 
-def _extend_kernel_t(tmax_ref, query_ref, target_ref, scal_ref, out_ref, *,
-                     qmax, a, b, o_del, e_del, o_ins, e_ins, zdrop,
-                     dt=jnp.int32, early_exit=True):
+def _extend_kernel_t(tmax_ref, prm_ref, query_ref, target_ref, scal_ref,
+                     out_ref, *, qmax, dt=jnp.int32, early_exit=True):
     """Transposed layout: query columns on SUBLANES, tasks on LANES.
 
     Identical semantics to _extend_kernel; this layout is the fast one on
@@ -89,9 +88,23 @@ def _extend_kernel_t(tmax_ref, query_ref, target_ref, scal_ref, out_ref, *,
     (c) the F prefix-scan shifts along sublanes.  Cross-LANE traffic —
     the expensive direction, measured at ~80% of the row-major kernel's
     runtime — is eliminated entirely from the row loop.
+
+    Scoring parameters arrive in the scalar-prefetch block `prm_ref`
+    ([a, b, o_del, e_del, o_ins, e_ins, zdrop, 0]) instead of being
+    baked in at trace time — the reference takes them per batch in
+    header words 0-1 (task_parse.v:1954-1955), and here one compiled
+    kernel serves any MemOptions (changing -A/-B/-O/-E recompiles
+    nothing).
     """
     g = pl.program_id(0)
     blk_l = query_ref.shape[1]                    # tasks per block (lanes)
+    a = prm_ref[0].astype(dt)
+    b = prm_ref[1].astype(dt)
+    o_del = prm_ref[2].astype(dt)
+    e_del = prm_ref[3].astype(dt)
+    o_ins = prm_ref[4].astype(dt)
+    e_ins = prm_ref[5].astype(dt)
+    zdrop = prm_ref[6].astype(dt)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     NEG = jnp.asarray(-(1 << 14) if dt == jnp.int16 else -(1 << 29), dt)
@@ -182,14 +195,13 @@ def _extend_kernel_t(tmax_ref, query_ref, target_ref, scal_ref, out_ref, *,
         max_off = jnp.where(
             improved, jnp.maximum(max_off, jnp.abs(mj - iv)), max_off)
 
-        if zdrop > 0:
-            di = iv - max_i
-            dj = mj - max_jv
-            pen = jnp.where(di > dj, (di - dj) * e_del, (dj - di) * e_ins)
-            break_z = active & (~break_zero) & (~improved) & (
-                best - row_max - pen > zdrop)
-        else:
-            break_z = jnp.zeros_like(break_zero)
+        # zdrop is a runtime scalar: compute the drop test always and
+        # neutralize it when zdrop <= 0 (bwa's zdrop<=0 = disabled)
+        di = iv - max_i
+        dj = mj - max_jv
+        pen = jnp.where(di > dj, (di - dj) * e_del, (dj - di) * e_ins)
+        break_z = active & (~break_zero) & (~improved) & (
+            best - row_max - pen > zdrop) & (zdrop > 0)
 
         done = jnp.maximum(
             done, (break_zero | break_z | (iv + 1 >= tlen)).astype(jnp.int32))
@@ -431,32 +443,44 @@ def extend_batch_raw(query, target, scal, tmax, params: ExtendParams, *,
       scal)
 
 
+def params_vector(params: ExtendParams) -> np.ndarray:
+    """The (8,) int32 runtime-scoring block for the kernel's scalar
+    prefetch — the analogue of the reference batch header words 0-1
+    (task_parse.v:1954-1955): [a, b, o_del, e_del, o_ins, e_ins,
+    zdrop, 0]."""
+    mat = np.asarray(params.mat_flat).reshape(params.m, params.m)
+    return np.array([int(mat[0, 0]), -int(mat[0, 1]), params.o_del,
+                     params.e_del, params.o_ins, params.e_ins,
+                     params.zdrop, 0], np.int32)
+
+
 def extend_batch_raw_t(query_t, target_t, scal_t, tmax,
-                       params: ExtendParams, *, blk_l: int = 512,
+                       params: ExtendParams = None, *, blk_l: int = 512,
                        interpret: bool = False, compute_dtype=None,
-                       early_exit: bool = True):
+                       early_exit: bool = True, prm=None):
     """Transposed-layout kernel invocation (the fast path).
 
     query_t (QMAX, B), target_t (TMAX, B), scal_t (8, B) int32 — i.e. the
     row-major arrays transposed on the host; returns (8, B) results.
+
+    Scoring parameters are RUNTIME data (scalar-prefetch block): pass
+    `prm` (the params_vector array, possibly a jit argument — zero
+    recompiles across MemOptions) or let it be derived from `params`.
     """
     qmax, B = query_t.shape
     assert B % blk_l == 0, (B, blk_l)
     grid = B // blk_l
-    mat = np.asarray(params.mat_flat).reshape(params.m, params.m)
-    a = int(mat[0, 0])
-    b = -int(mat[0, 1])
+    if prm is None:
+        prm = params_vector(params)
     if compute_dtype is None:
         compute_dtype = jnp.int32  # Mosaic: no i16 arithmetic yet
 
     kernel = functools.partial(
-        _extend_kernel_t, qmax=qmax, a=a, b=b,
-        o_del=params.o_del, e_del=params.e_del,
-        o_ins=params.o_ins, e_ins=params.e_ins, zdrop=params.zdrop,
-        dt=compute_dtype, early_exit=early_exit)
+        _extend_kernel_t, qmax=qmax, dt=compute_dtype,
+        early_exit=early_exit)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((qmax, blk_l), lambda g, *_: (0, g),
@@ -475,7 +499,7 @@ def extend_batch_raw_t(query_t, target_t, scal_t, tmax,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
         interpret=interpret,
-    )(tmax, query_t, target_t, scal_t)
+    )(tmax, jnp.asarray(prm, jnp.int32), query_t, target_t, scal_t)
 
 
 def pack_scal(qlen, tlen, aw, h0, blk_b: int = 128):

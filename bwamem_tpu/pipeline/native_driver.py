@@ -273,16 +273,29 @@ def _hard_clip(cigar: str) -> tuple[str, int, int]:
 
 def make_raw_t_backend(params, blk_l: int = 512, interpret: bool = False):
     """Jitted transposed-layout Pallas backend for NativePipeline
-    (the production device path; `interpret=True` for CPU testing)."""
-    import functools
+    (the production device path; `interpret=True` for CPU testing).
 
+    The scoring parameters travel as a jit ARGUMENT (the kernel's
+    scalar-prefetch block), so one compiled program serves every
+    MemOptions — changing -A/-B/-O/-E/zdrop costs zero recompiles
+    (the reference's per-batch header words 0-1)."""
     import jax
 
-    from bwamem_tpu.ops.extend_pallas import extend_batch_raw_t
+    from bwamem_tpu.ops.extend_pallas import (
+        extend_batch_raw_t,
+        params_vector,
+    )
 
-    return jax.jit(functools.partial(
-        extend_batch_raw_t, params=params, blk_l=blk_l,
-        interpret=interpret))
+    prm = params_vector(params)
+
+    fn = jax.jit(lambda q, t, s, tm, p: extend_batch_raw_t(
+        q, t, s, tm, prm=p, blk_l=blk_l, interpret=interpret))
+
+    def raw_t(query_t, target_t, scal_t, tmaxb, prm_override=None):
+        return fn(query_t, target_t, scal_t, tmaxb,
+                  prm if prm_override is None else prm_override)
+
+    return raw_t
 
 
 def make_jax_raw_t_backend(params):
