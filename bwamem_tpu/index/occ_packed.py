@@ -47,14 +47,26 @@ class PackedOcc:
 def pack_occ(fm: FMIndex) -> PackedOcc:
     n = len(fm.bwt)
     nb = (n + OCC_BLOCK - 1) // OCC_BLOCK
-    padded = np.full(nb * OCC_BLOCK, 5, np.uint8)
-    padded[:n] = fm.bwt
-    lanes = padded.reshape(nb * BLOCK_WORDS, WORD_SYMS).astype(np.uint32)
-    valid = (lanes < 4).astype(np.uint32)
-    codes = np.where(valid, lanes, 0)
     shifts = (2 * np.arange(WORD_SYMS, dtype=np.uint32))
-    pk = (codes << shifts).sum(axis=1, dtype=np.uint32)
-    va = (valid << shifts).sum(axis=1, dtype=np.uint32)
+    pk = np.empty(nb * BLOCK_WORDS, np.uint32)
+    va = np.empty(nb * BLOCK_WORDS, np.uint32)
+    # chunked packing: the uint32 lane expansion is 4 bytes/symbol and
+    # three temporaries wide — 75 GB at GRCh38 scale if done whole-array
+    CHUNK = 1 << 26  # symbols per chunk (multiple of OCC_BLOCK)
+    for s0 in range(0, nb * OCC_BLOCK, CHUNK):
+        s1 = min(s0 + CHUNK, nb * OCC_BLOCK)
+        span = fm.bwt[s0:min(s1, n)]
+        if s1 > n:
+            span = np.concatenate([span, np.full(s1 - max(s0, n), 5,
+                                                 np.uint8)])
+        lanes = span.reshape(-1, WORD_SYMS).astype(np.uint32)
+        valid = (lanes < 4).astype(np.uint32)
+        codes = np.where(valid, lanes, 0)
+        w0 = s0 // WORD_SYMS
+        pk[w0:w0 + lanes.shape[0]] = (codes << shifts).sum(
+            axis=1, dtype=np.uint32)
+        va[w0:w0 + lanes.shape[0]] = (valid << shifts).sum(
+            axis=1, dtype=np.uint32)
     occ_rows = np.ascontiguousarray(fm.occ_cp[:4].T).astype(np.int32)
     if occ_rows.shape[0] < nb + 1:
         occ_rows = np.pad(occ_rows,
