@@ -122,13 +122,17 @@ def build_index(pac: np.ndarray, sa_intv: int = 8) -> FMIndex:
     # full SA including the sentinel row at index 0
     sa_full = np.concatenate([[n2], sa]).astype(np.int64)
     del sa
-    # BWT: char preceding each suffix; sentinel (code 5) at the primary row
-    prev = sa_full - 1
+    # BWT: char preceding each suffix; sentinel (code 5) at the primary
+    # row.  Chunked so no second int64 index array coexists with the SA
+    # (at GRCh38 scale `sa_full - 1` alone is another 50 GB)
     primary = int(np.nonzero(sa_full == 0)[0][0])
-    prev[primary] = 0  # placeholder, overwritten below
-    bwt = text[prev].astype(np.uint8)
+    bwt = np.empty(n2 + 1, np.uint8)
+    CH = 1 << 26
+    for i0 in range(0, n2 + 1, CH):
+        sl = sa_full[i0:i0 + CH] - 1
+        np.maximum(sl, 0, out=sl)  # primary's placeholder
+        bwt[i0:i0 + CH] = text[sl]
     bwt[primary] = 5
-    del prev
     # sampled SA at row multiples of sa_intv; the full SA (the largest
     # allocation, 8 bytes/row) is dead from here — at GRCh38 scale it is
     # 50 GB and must not coexist with the Occ temporaries below

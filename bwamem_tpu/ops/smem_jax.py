@@ -2,13 +2,21 @@
 
 The packed-rank expressions in index/occ_packed.py are written xp-
 generically; this module instantiates them under jax.numpy and jit so
-the seeding gather chain can run on-device with the index resident in
-HBM — the "FM-index in HBM, batched rank queries" design of SURVEY.md
-§7 step 3.  The smem control flow currently runs host-side
-(index/smem_batch.py) calling these batched primitives; a fully
-on-device lax.while_loop smem is the planned next step — the data
-layout and the rank/extension kernels below are already the device
-versions it needs.
+rank queries can run on-device with the index resident in HBM — the
+"FM-index in HBM, batched rank queries" building block of SURVEY.md
+§7 step 3.
+
+DECISION (round 2): production seeding stays on the HOST, in C++
+(csrc/smem.cpp), not on device.  Measured at scale (bench/
+index_scale.py): the native engine sustains tens of thousands of
+reads/s at hundred-megabase-to-gigabase genomes — an order of
+magnitude above the end-to-end pipeline rate — so seeding is provably
+not the bottleneck, while a device SMEM would serialize dependent HBM
+gathers per extension step (the classic FM-index latency chain) and
+contend with the extension kernel for the chip.  This mirrors the
+reference, whose seeding also runs host-side on CPU threads
+(SURVEY.md §0).  These jitted primitives remain as the tested
+device-resident rank path for anyone revisiting that trade-off.
 """
 
 from __future__ import annotations

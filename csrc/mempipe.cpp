@@ -870,32 +870,50 @@ int64_t mp_chunk_start(void* h, const uint8_t* reads, const int64_t* qlen,
   mp.phase = 0;
   mp.pass_k = 0;
 
-  // seeding via the native SMEM engine (single call; it is memory-bound
-  // and fast — threading happens at the per-read stages below)
-  int64_t total_q = 0;
-  for (int64_t i = 0; i < n_reads; ++i) total_q += qlen[i];
+  // seeding via the native SMEM engine, threaded over read ranges (the
+  // rank-query chain is memory-latency bound; independent reads scale)
   int64_t split_len =
       (int64_t)(mp.opt.min_seed_len * mp.opt.split_factor + 0.499);
-  std::vector<int64_t> seed_rows;
-  int64_t cap = std::max((int64_t)1 << 16, total_q * 4);
-  int64_t n_seeds;
-  for (;;) {
-    seed_rows.resize(cap * 4);
-    n_seeds = bwamem_collect_seeds(
-        mp.C, mp.primary, mp.n_rows, mp.occ_rows, mp.pk_rows, mp.va_rows,
-        mp.ssa, mp.n_ssa, mp.sa_intv, reads, qlen, n_reads, L,
-        mp.opt.min_seed_len, split_len, mp.opt.split_width, mp.opt.max_occ,
-        seed_rows.data(), cap);
-    if (n_seeds >= 0) break;
-    cap *= 4;
-    if (cap > ((int64_t)1 << 31)) return -1;
-  }
-  // group per read (rows are read-ordered)
+  int nt_seed = std::max((int)nthreads, 1);
   std::vector<std::vector<SeedC>> seeds(n_reads);
-  for (int64_t k = 0; k < n_seeds; ++k) {
-    const int64_t* row = seed_rows.data() + k * 4;
-    seeds[row[0]].push_back(SeedC{row[1], row[2], row[3]});
+  std::atomic<bool> seed_fail(false);
+  int64_t stripe = (n_reads + nt_seed - 1) / nt_seed;
+  auto seed_worker = [&](int64_t r0, int64_t r1) {
+    if (r0 >= r1) return;
+    int64_t total_q = 0;
+    for (int64_t i = r0; i < r1; ++i) total_q += qlen[i];
+    int64_t cap = std::max((int64_t)1 << 16, total_q * 4);
+    std::vector<int64_t> rows;
+    int64_t n_seeds;
+    for (;;) {
+      rows.resize(cap * 4);
+      n_seeds = bwamem_collect_seeds(
+          mp.C, mp.primary, mp.n_rows, mp.occ_rows, mp.pk_rows,
+          mp.va_rows, mp.ssa, mp.n_ssa, mp.sa_intv, reads + r0 * L,
+          qlen + r0, r1 - r0, L, mp.opt.min_seed_len, split_len,
+          mp.opt.split_width, mp.opt.max_occ, rows.data(), cap);
+      if (n_seeds >= 0) break;
+      cap *= 4;
+      if (cap > ((int64_t)1 << 31)) {
+        seed_fail.store(true);
+        return;
+      }
+    }
+    for (int64_t k = 0; k < n_seeds; ++k) {
+      const int64_t* row = rows.data() + k * 4;
+      seeds[r0 + row[0]].push_back(SeedC{row[1], row[2], row[3]});
+    }
+  };
+  if (nt_seed == 1) {
+    seed_worker(0, n_reads);
+  } else {
+    std::vector<std::thread> sths;
+    for (int t = 0; t < nt_seed; ++t)
+      sths.emplace_back(seed_worker, t * stripe,
+                        std::min((int64_t)(t + 1) * stripe, n_reads));
+    for (auto& t : sths) t.join();
   }
+  if (seed_fail.load()) return -1;
   // chain + plan, threaded over reads
   int nt = std::max((int)nthreads, 1);
   std::atomic<int64_t> next(0);
