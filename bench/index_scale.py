@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--reads", type=int, default=20000,
                     help="reads for the seeding throughput probe")
     ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument("--threads", type=int, default=1,
+                    help="seeding probe threads")
+    ap.add_argument("--single-build", action="store_true",
+                    help="skip the standalone SA-IS probe (one build "
+                         "only — use at >= 1 Gb where a second suffix "
+                         "sort doubles the runtime)")
     args = ap.parse_args()
 
     from bwamem_tpu.config import MemOptions
@@ -42,22 +48,25 @@ def main():
           f"{2*n_bp/1e9:.2f} Gsym)", file=sys.stderr)
     pac = rng.integers(0, 4, n_bp).astype(np.uint8)
 
-    t0 = time.time()
-    from bwamem_tpu.index.build import revcomp_codes
-    text = np.concatenate([pac, revcomp_codes(pac)])
-    t_text = time.time() - t0
-    t0 = time.time()
-    sa = suffix_array(text)
-    t_sais = time.time() - t0
-    print(f"[sais] {t_sais:.1f}s ({2*n_bp/1e6/t_sais:.1f} Msym/s), "
-          f"rss {rss_gb():.1f} GB", file=sys.stderr)
-    del sa, text
+    t_sais = 0.0
+    if not args.single_build:
+        t0 = time.time()
+        from bwamem_tpu.index.build import revcomp_codes
+        text = np.concatenate([pac, revcomp_codes(pac)])
+        t0 = time.time()
+        sa = suffix_array(text)
+        t_sais = time.time() - t0
+        print(f"[sais] {t_sais:.1f}s ({2*n_bp/1e6/t_sais:.1f} Msym/s), "
+              f"rss {rss_gb():.1f} GB", file=sys.stderr)
+        del sa, text
 
     t0 = time.time()
     fm = build_index(pac)
     t_build = time.time() - t0
     print(f"[index] full build {t_build:.1f}s, rss {rss_gb():.1f} GB",
           file=sys.stderr)
+    if args.single_build:
+        t_sais = t_build
 
     t0 = time.time()
     po = pack_occ(fm)
@@ -76,7 +85,18 @@ def main():
             r[rng.integers(0, args.read_len)] = rng.integers(0, 4)
         reads.append(r)
     t0 = time.time()
-    seeds = collect_seeds_native(fm, po, reads, opt)
+    if args.threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        stripe = (len(reads) + args.threads - 1) // args.threads
+        with ThreadPoolExecutor(args.threads) as ex:
+            parts = list(ex.map(
+                lambda i: collect_seeds_native(
+                    fm, po, reads[i * stripe:(i + 1) * stripe], opt),
+                range(args.threads)))
+        seeds = [s for p in parts if p for s in p]
+    else:
+        seeds = collect_seeds_native(fm, po, reads, opt)
     t_seed = time.time() - t0
     n_seeds = sum(len(s) for s in seeds) if seeds else 0
     print(f"[seed] {args.reads} reads in {t_seed:.1f}s -> "

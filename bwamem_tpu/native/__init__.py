@@ -122,6 +122,12 @@ def _bind_ksw(lib):
     lib.bwamem_cigar_nm_md.argtypes = [
         p8, p8, p32, ctypes.c_int64,
         ctypes.c_char_p, ctypes.c_int64, p64]
+    lib.bwamem_ksw_align.restype = None
+    lib.bwamem_ksw_align.argtypes = [
+        p8, ctypes.c_int64, p8, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        p64]
 
 
 def ksw_global_native(query: np.ndarray, target: np.ndarray,
@@ -150,6 +156,27 @@ def ksw_global_native(query: np.ndarray, target: np.ndarray,
         return None
     pairs = cig[:2 * n].reshape(n, 2)
     return int(score.value), [(int(op), int(ln)) for op, ln in pairs]
+
+
+def ksw_align_native(query: np.ndarray, target: np.ndarray,
+                     mat: np.ndarray, o_del: int, e_del: int, o_ins: int,
+                     e_ins: int):
+    """Native local SW (bwa ksw_align twin); returns the 6-tuple
+    (score, qb, qe, tb, te, score2) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(query, np.uint8)
+    t = np.ascontiguousarray(target, np.uint8)
+    m8 = np.ascontiguousarray(mat, np.int8)
+    out = np.empty(6, np.int64)
+    lib.bwamem_ksw_align(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(q),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(t),
+        m8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), m8.shape[0],
+        o_del, e_del, o_ins, e_ins,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return tuple(int(x) for x in out)
 
 
 def cigar_nm_md_native(query: np.ndarray, rseq: np.ndarray, cigar):

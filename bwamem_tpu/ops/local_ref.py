@@ -57,12 +57,20 @@ def _forward_local(query, target, mat, o_del, e_del, o_ins, e_ins):
     return best, bi, bj, row_best
 
 
-def ksw_align(query, target, mat, o_del, e_del, o_ins, e_ins,
+def ksw_align(query, target, mat, o_del, e_del, o_ins, e_ins, *,
+              use_native: bool = True,
               ) -> tuple[int, int, int, int, int, int]:
     query = np.asarray(query)
     target = np.asarray(target)
     if len(query) == 0 or len(target) == 0:
         return 0, -1, -1, -1, -1, 0
+    if use_native:
+        from bwamem_tpu.native import ksw_align_native
+
+        got = ksw_align_native(query, target, mat, o_del, e_del,
+                               o_ins, e_ins)
+        if got is not None:
+            return got
     score, te_i, qe_j, row_best = _forward_local(
         query, target, mat, o_del, e_del, o_ins, e_ins)
     if score <= 0:

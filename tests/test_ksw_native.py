@@ -85,6 +85,30 @@ def test_nm_md_fuzz_vs_python():
         assert got == want, trial
 
 
+def test_ksw_align_fuzz_vs_python():
+    """Native local SW (mate rescue) == the Python twin, including
+    start/end coordinates, tie-breaking and the KSW_XSUBO second best."""
+    from bwamem_tpu.ops.local_ref import ksw_align
+
+    rng = np.random.default_rng(31)
+    for trial in range(120):
+        tlen = int(rng.integers(1, 400))
+        target = rng.integers(0, 4, tlen).astype(np.int64)
+        if rng.random() < 0.8 and tlen > 60:
+            # plant the query inside the window, mutated
+            off = int(rng.integers(0, tlen - 50))
+            ln = int(rng.integers(30, min(120, tlen - off)))
+            query = _mutate(rng, target[off:off + ln])
+        else:
+            query = rng.integers(0, 4,
+                                 int(rng.integers(1, 80))).astype(np.int64)
+        got = ksw_align(query, target, OPT.mat, OPT.o_del, OPT.e_del,
+                        OPT.o_ins, OPT.e_ins)
+        want = ksw_align(query, target, OPT.mat, OPT.o_del, OPT.e_del,
+                         OPT.o_ins, OPT.e_ins, use_native=False)
+        assert got == want, (trial, query.tolist(), target.tolist())
+
+
 def test_alignment_via_public_path_uses_native():
     """ksw_global with use_native default must equal the python path."""
     rng = np.random.default_rng(5)
