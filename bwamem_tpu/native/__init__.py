@@ -219,8 +219,9 @@ def _bind_mempipe(lib):
     lib.mp_task_count.argtypes = [ctypes.c_void_p]
     lib.mp_task_dims.restype = None
     lib.mp_task_dims.argtypes = [ctypes.c_void_p, p64, p64]
+    pi8 = ctypes.POINTER(ctypes.c_int8)
     lib.mp_fill_tasks.restype = None
-    lib.mp_fill_tasks.argtypes = [ctypes.c_void_p, i64, p32, i64, p32,
+    lib.mp_fill_tasks.argtypes = [ctypes.c_void_p, i64, pi8, i64, pi8,
                                   i64, p32, i64]
     lib.mp_pass_done.restype = i64
     lib.mp_pass_done.argtypes = [ctypes.c_void_p, i64, p32, i64]

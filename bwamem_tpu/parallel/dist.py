@@ -47,9 +47,14 @@ def make_sharded_raw_t_backend(mesh: Mesh, params: ExtendParams, *,
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
 
+    import jax.numpy as jnp
+
     def local(tmaxb, query_t, target_t, scal_t):
-        return extend_batch_raw_t(query_t, target_t, scal_t, tmaxb,
-                                  params, blk_l=blk_l, interpret=interpret)
+        # int8 or int32 inputs both accepted (the pipeline ships int8)
+        return extend_batch_raw_t(query_t.astype(jnp.int32),
+                                  target_t.astype(jnp.int32), scal_t,
+                                  tmaxb, params, blk_l=blk_l,
+                                  interpret=interpret)
 
     fn = jax.jit(jax.shard_map(
         local,

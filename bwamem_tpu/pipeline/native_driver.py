@@ -132,12 +132,16 @@ class NativePipeline:
             q = getattr(raw_t_fn, "bp_quantum", self.blk_l)
             if Bp % q:
                 Bp = -(-Bp // q) * q
-            query_t = np.zeros((qmax, Bp), np.int32)
-            target_t = np.zeros((tmax, Bp), np.int32)
+            # int8 base codes: the device converts to int32 on-chip; the
+            # 4x smaller H2D transfer matters more than the convert (the
+            # per-call transfer through the device tunnel is the
+            # pipeline's limiting cost at large genomes)
+            query_t = np.zeros((qmax, Bp), np.int8)
+            target_t = np.zeros((tmax, Bp), np.int8)
             scal_t = np.zeros((8, Bp), np.int32)
             self.lib.mp_fill_tasks(
-                self.h, k, query_t.ctypes.data_as(_P32), qmax,
-                target_t.ctypes.data_as(_P32), tmax,
+                self.h, k, query_t.ctypes.data_as(_PI8), qmax,
+                target_t.ctypes.data_as(_PI8), tmax,
                 scal_t.ctypes.data_as(_P32), Bp)
             grid = Bp // self.blk_l
             tl = scal_t[1].reshape(grid, self.blk_l)
@@ -286,10 +290,14 @@ def make_raw_t_backend(params, blk_l: int = 512, interpret: bool = False):
         params_vector,
     )
 
+    import jax.numpy as jnp
+
     prm = params_vector(params)
 
+    # inputs arrive int8 (4x smaller transfer); convert on-device
     fn = jax.jit(lambda q, t, s, tm, p: extend_batch_raw_t(
-        q, t, s, tm, prm=p, blk_l=blk_l, interpret=interpret))
+        q.astype(jnp.int32), t.astype(jnp.int32), s, tm, prm=p,
+        blk_l=blk_l, interpret=interpret))
 
     def raw_t(query_t, target_t, scal_t, tmaxb, prm_override=None):
         return fn(query_t, target_t, scal_t, tmaxb,
@@ -308,8 +316,10 @@ def make_jax_raw_t_backend(params):
     core = jax.jit(lambda *a: extend_batch_core(*a, params))
 
     def fn(query_t, target_t, scal_t, tmaxb):
-        out = core(jnp.asarray(query_t.T), jnp.asarray(scal_t[0]),
-                   jnp.asarray(target_t.T), jnp.asarray(scal_t[1]),
+        out = core(jnp.asarray(query_t.T, jnp.int32),
+                   jnp.asarray(scal_t[0]),
+                   jnp.asarray(target_t.T, jnp.int32),
+                   jnp.asarray(scal_t[1]),
                    jnp.asarray(scal_t[2]), jnp.asarray(scal_t[3]))
         z = np.zeros(query_t.shape[1], np.int32)
         return np.stack([

@@ -967,12 +967,15 @@ void mp_task_dims(void* h, int64_t* qmax, int64_t* tmax) {
 }
 
 // Fill the kernel input arrays IN TRANSPOSED LAYOUT (the fast-path
-// layout of ops/extend_pallas.py): query_t (qmax, Bp) int32,
-// target_t (tmax, Bp) int32, scal_t (8, Bp) int32 rows
-// [qlen, tlen, aw, h0, 0...].  Arrays must be zeroed by the caller;
-// only columns 0..B-1 are written.  k is the band-doubling pass.
-void mp_fill_tasks(void* h, int64_t k, int32_t* query_t, int64_t qmax,
-                   int32_t* target_t, int64_t tmax, int32_t* scal_t,
+// layout of ops/extend_pallas.py): query_t (qmax, Bp) int8,
+// target_t (tmax, Bp) int8 (base codes 0..4 — the device converts to
+// int32; int8 keeps the host->device transfer 4x smaller, which is the
+// pipeline's limiting cost through this environment's device tunnel),
+// scal_t (8, Bp) int32 rows [qlen, tlen, aw, h0, 0...].  Arrays must be
+// zeroed by the caller; only columns 0..B-1 are written.  k is the
+// band-doubling pass.
+void mp_fill_tasks(void* h, int64_t k, int8_t* query_t, int64_t qmax,
+                   int8_t* target_t, int64_t tmax, int32_t* scal_t,
                    int64_t Bp) {
   MemPipe& mp = *static_cast<MemPipe*>(h);
   const Opt& o = mp.opt;
@@ -981,14 +984,14 @@ void mp_fill_tasks(void* h, int64_t k, int32_t* query_t, int64_t qmax,
     const TaskC& t = pr.tasks[mp.cur[slot].second];
     const uint8_t* q = pr.qbuf.data() + t.qoff;
     for (int64_t j = 0; j < t.qlen; ++j)
-      query_t[j * Bp + slot] = q[j];
+      query_t[j * Bp + slot] = (int8_t)q[j];
     const std::vector<uint8_t>& rs = pr.rseq[t.ci];
     if (t.side == 0) {  // left target is reversed rseq[:tlen]
       for (int64_t j = 0; j < t.tlen; ++j)
-        target_t[j * Bp + slot] = rs[t.tlen - 1 - j];
+        target_t[j * Bp + slot] = (int8_t)rs[t.tlen - 1 - j];
     } else {
       for (int64_t j = 0; j < t.tlen; ++j)
-        target_t[j * Bp + slot] = rs[t.toff + j];
+        target_t[j * Bp + slot] = (int8_t)rs[t.toff + j];
     }
     int64_t aw = std::min((int64_t)(o.w << k), std::min(t.max_ins, t.max_del));
     scal_t[0 * Bp + slot] = (int32_t)t.qlen;
