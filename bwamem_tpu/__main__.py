@@ -146,14 +146,14 @@ def cmd_mem(args) -> int:
                          "falling back to python host\n")
     if mate_chunks is not None:
         if use_native:
+            # full PE chunk in C++: pestat, mate rescue, pairing, sam_pe
             raw_t_fn = make_raw_t_backend(opt, args.backend)
             pipe = native_driver.NativePipeline(opt, ref, fm, po,
                                                 nthreads=args.t,
                                                 tracer=tracer)
-            backend_fn, kw = None, dict(native_pipe=pipe,
-                                        raw_t_fn=raw_t_fn)
+            backend_fn = None
         else:
-            backend_fn, kw = make_extend_backend(opt, args.backend), {}
+            backend_fn = make_extend_backend(opt, args.backend)
         for chunk, mchunk in zip(chunks, mate_chunks):
             assert len(chunk) == len(mchunk), "read/mate count mismatch"
             start = n_reads // 2
@@ -162,14 +162,22 @@ def cmd_mem(args) -> int:
                 rr = ReadRange(0, start, start + len(chunk))
                 if manifest.is_done(rr):
                     continue
-            recs = align_pairs(
-                opt, ref, fm,
-                [r.seq.astype(np.int64) for r in chunk],
-                [m.seq.astype(np.int64) for m in mchunk],
-                names=[r.name for r in chunk],
-                quals1=[r.qual for r in chunk],
-                quals2=[m.qual for m in mchunk], po=po,
-                extend_batch_fn=backend_fn, **kw)
+            if use_native:
+                recs = pipe.align_pairs_chunk(
+                    [r.seq.astype(np.int64) for r in chunk],
+                    [m.seq.astype(np.int64) for m in mchunk], raw_t_fn,
+                    names=[r.name for r in chunk],
+                    quals1=[r.qual for r in chunk],
+                    quals2=[m.qual for m in mchunk])
+            else:
+                recs = align_pairs(
+                    opt, ref, fm,
+                    [r.seq.astype(np.int64) for r in chunk],
+                    [m.seq.astype(np.int64) for m in mchunk],
+                    names=[r.name for r in chunk],
+                    quals1=[r.qual for r in chunk],
+                    quals2=[m.qual for m in mchunk], po=po,
+                    extend_batch_fn=backend_fn)
             for rr_ in recs:
                 for rec in rr_:
                     out.write(rec.line() + "\n")

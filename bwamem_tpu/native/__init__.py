@@ -229,6 +229,8 @@ def _bind_mempipe(lib):
     lib.mp_prepare_right.argtypes = [ctypes.c_void_p]
     lib.mp_finalize.restype = i64
     lib.mp_finalize.argtypes = [ctypes.c_void_p, i64]
+    lib.mp_finalize_pe.restype = i64
+    lib.mp_finalize_pe.argtypes = [ctypes.c_void_p, i64, i64]
     lib.mp_blob_size.restype = i64
     lib.mp_blob_size.argtypes = [ctypes.c_void_p]
     lib.mp_get_records.restype = None

@@ -60,6 +60,7 @@ class NativePipeline:
             opt.w, opt.zdrop, opt.pen_clip5, opt.pen_clip3,
             opt.min_seed_len, opt.split_width, opt.max_occ,
             opt.max_chain_gap, opt.T, int(opt.flag_M), int(opt.flag_a), 5,
+            opt.pen_unpaired, opt.max_matesw, opt.max_ins,
         ], np.int64)
         self._opt_d = np.array([
             opt.split_factor, opt.drop_ratio, opt.mask_level,
@@ -187,37 +188,77 @@ class NativePipeline:
         self._extend(reads, raw_t_fn)
         t_fin = time.time()
         nrec = self.lib.mp_finalize(self.h, self.nthreads)
-        fields = np.zeros((max(nrec, 1), 12), np.int64)
+        out = self._collect(nrec, len(reads), reads, names, quals)
+        self.lib.mp_chunk_end(self.h)
+        if self.tracer is not None:
+            self.tracer.host(0, time.time() - t_fin)
+        return out
+
+    def align_pairs_chunk(self, reads1, reads2, raw_t_fn, names=None,
+                          quals1=None, quals2=None,
+                          ) -> list[list[SamRecord]]:
+        """Full paired-end alignment of a chunk in C++ (mem_sam_pe):
+        insert-size inference over the chunk, mate rescue, pairing,
+        record emission — identical output to pair.align_pairs."""
+        import time
+
+        n = len(reads1)
+        names = names or [f"pair{i}" for i in range(n)]
+        quals1 = quals1 or [None] * n
+        quals2 = quals2 or [None] * n
+        reads = list(reads1) + list(reads2)
+        all_names = names + names
+        all_quals = list(quals1) + list(quals2)
+        self._extend(reads, raw_t_fn)
+        t_fin = time.time()
+        nrec = self.lib.mp_finalize_pe(self.h, n, self.nthreads)
+        out = self._collect(nrec, n, reads, all_names, all_quals)
+        self.lib.mp_chunk_end(self.h)
+        if self.tracer is not None:
+            self.tracer.host(0, time.time() - t_fin)
+        return out
+
+    def _collect(self, nrec, n_groups, reads, names, quals):
+        fields = np.zeros((max(nrec, 1), 16), np.int64)
         blob = ctypes.create_string_buffer(
             max(int(self.lib.mp_blob_size(self.h)), 1))
         self.lib.mp_get_records(self.h, fields.ctypes.data_as(_P64), blob)
-        out: list[list[SamRecord]] = [[] for _ in reads]
+        out: list[list[SamRecord]] = [[] for _ in range(n_groups)]
         boff = 0
         raw = blob.raw
         for i in range(nrec):
             (ri, flag, rid, pos, mapq, nm, score, sub, is_rev,
-             ncig, nmd, nxa) = (int(x) for x in fields[i])
+             ncig, nmd, nxa, mate_rid, pnext0, tlen,
+             group) = (int(x) for x in fields[i])
             cigar = raw[boff:boff + ncig].decode("ascii")
             boff += ncig + 1
             md = raw[boff:boff + nmd].decode("ascii")
             boff += nmd + 1
             xa = raw[boff:boff + nxa].decode("ascii")
             boff += nxa + 1
-            out[ri].append(self._assemble(
+            out[group].append(self._assemble(
                 names[ri], reads[ri], quals[ri], flag, rid, pos, mapq,
-                cigar, nm, md, score, sub, bool(is_rev), xa))
-        self.lib.mp_chunk_end(self.h)
-        if self.tracer is not None:
-            self.tracer.host(0, time.time() - t_fin)
+                cigar, nm, md, score, sub, bool(is_rev), xa,
+                mate_rid, pnext0, tlen))
         return out
 
     def _assemble(self, name, read, qual, flag, rid, pos, mapq, cigar,
-                  nm, md, score, sub, is_rev, xa) -> SamRecord:
-        """aln2sam's seq/qual/tag assembly (the only per-record Python)."""
+                  nm, md, score, sub, is_rev, xa, mate_rid=-9, pnext0=-1,
+                  tlen=0) -> SamRecord:
+        """aln2sam's seq/qual/tag assembly (the only per-record Python).
+        mate_rid == -9 means single-end; >= 0 names the mate's contig
+        (RNEXT '=' when it equals rid); -1 = paired but mate unmapped."""
         if rid < 0:
-            return SamRecord(qname=name, flag=flag, rname="*", pos=0,
-                             mapq=0, cigar="*", seq=decode_seq(read),
-                             qual=qual or "*")
+            rec = SamRecord(qname=name, flag=flag, rname="*", pos=0,
+                            mapq=0, cigar="*", seq=decode_seq(read),
+                            qual=qual or "*")
+            if mate_rid >= 0:
+                # unmapped read in a pair: placed at its mate's coords
+                rec.rname = self.ref.contigs[mate_rid].name
+                rec.pos = pnext0 + 1
+                rec.rnext = "="
+                rec.pnext = pnext0 + 1
+            return rec
         if is_rev:
             seq = decode_seq(revcomp_read(read))
             oq = qual[::-1] if qual else None
@@ -235,10 +276,16 @@ class NativePipeline:
         tags.append(("AS", "i", score))
         if xa:
             tags.append(("XA", "Z", xa))
-        return SamRecord(qname=name, flag=flag,
-                         rname=self.ref.contigs[rid].name, pos=pos + 1,
-                         mapq=mapq, cigar=cigar, seq=seq, qual=oq or "*",
-                         tags=tags)
+        rec = SamRecord(qname=name, flag=flag,
+                        rname=self.ref.contigs[rid].name, pos=pos + 1,
+                        mapq=mapq, cigar=cigar, seq=seq, qual=oq or "*",
+                        tags=tags)
+        if mate_rid >= 0:
+            rec.rnext = ("=" if mate_rid == rid
+                         else self.ref.contigs[mate_rid].name)
+            rec.pnext = pnext0 + 1
+            rec.tlen = tlen
+        return rec
 
     # -- paired-end support: regions only --------------------------------
 

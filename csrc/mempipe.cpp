@@ -64,6 +64,7 @@ struct Opt {
   int64_t a, b, o_del, e_del, o_ins, e_ins, w, zdrop;
   int64_t pen_clip5, pen_clip3, min_seed_len, split_width, max_occ;
   int64_t max_chain_gap, T, flag_M, flag_a, max_xa_hits;
+  int64_t pen_unpaired = 17, max_matesw = 100, max_ins = 10000;
   double split_factor, drop_ratio, mask_level, mapq_coef_len, mapq_coef_fac;
 };
 
@@ -101,6 +102,9 @@ struct RecordC {
   int64_t flag = 0, rid = -1, pos = -1, mapq = 0, nm = -1;
   int64_t score = 0, sub = -1;
   bool is_rev = false;
+  int64_t ref_span = 0;              // reference length of the cigar
+  // paired-end fields: mate_rid == -9 means "single-end record"
+  int64_t src_read = -1, mate_rid = -9, pnext0 = -1, tlen = 0;
   std::string cigar, md, xa;
 };
 
@@ -714,6 +718,7 @@ RecordC reg2aln(const MemPipe& mp, int64_t ri, const RegionC& ar) {
   int64_t span = 0;
   for (const auto& p : cigar)
     if (p.first == 0 || p.first == 2) span += p.second;
+  a.ref_span = span;
   a.rid = pos2rid(mp, pos2);
   if (a.rid < 0 || (span > 0 && pos2rid(mp, pos2 + span - 1) != a.rid)) {
     a.rid = -1;
@@ -770,6 +775,7 @@ void finalize_read(const MemPipe& mp, int64_t ri, PerRead& pr) {
     RecordC rec;
     rec.flag = 0x4;
     rec.cigar = "*";
+    rec.src_read = ri;
     pr.records.push_back(std::move(rec));
     return;
   }
@@ -782,16 +788,434 @@ void finalize_read(const MemPipe& mp, int64_t ri, PerRead& pr) {
       RecordC rec;
       rec.flag = flag;
       rec.cigar = "*";
+      rec.src_read = ri;
       pr.records.push_back(std::move(rec));
       continue;
     }
     a.flag = flag;
+    a.src_read = ri;
     pr.records.push_back(std::move(a));
   }
   if (!o.flag_a) {
     std::string xa;
     xa_string(mp, ri, pr.regions, xa);
     if (!xa.empty()) pr.records[0].xa = std::move(xa);
+  }
+}
+
+// ---- paired-end machinery (pipeline/pair.py port) ----
+
+constexpr int64_t MIN_DIR_CNT = 10;
+constexpr double MIN_DIR_RATIO = 0.05;
+constexpr double OUTLIER_BOUND = 2.0;
+constexpr double MAPPING_BOUND = 3.0;
+constexpr double MAX_STDDEV = 4.0;
+constexpr double MIN_RATIO = 0.8;
+
+struct PEStatC {
+  int64_t low = 0, high = 0;
+  double avg = 0.0, std = 0.0;
+  bool failed = true;
+};
+
+// pair.py _infer_dir (bwa mem_infer_dir)
+inline int infer_dir(int64_t l_pac, int64_t b1, int64_t b2,
+                     int64_t* dist) {
+  int r1 = b1 >= l_pac ? 1 : 0;
+  int r2 = b2 >= l_pac ? 1 : 0;
+  int64_t p2 = r1 == r2 ? b2 : (l_pac << 1) - 1 - b2;
+  *dist = p2 > b1 ? p2 - b1 : b1 - p2;
+  return (r1 == r2 ? 0 : 1) ^ (p2 > b1 ? 0 : 3);
+}
+
+// pair.py cal_sub (regs score-sorted)
+int64_t cal_sub(const Opt& o, const std::vector<RegionC>& regs) {
+  for (size_t j = 1; j < regs.size(); ++j) {
+    int64_t b_max = std::max(regs[j].qb, regs[0].qb);
+    int64_t e_min = std::min(regs[j].qe, regs[0].qe);
+    if (e_min > b_max) {
+      int64_t min_l =
+          std::min(regs[j].qe - regs[j].qb, regs[0].qe - regs[0].qb);
+      if (e_min - b_max >= min_l * o.mask_level) return regs[j].score;
+    }
+  }
+  return o.min_seed_len * o.a;
+}
+
+// pair.py infer_isize (bwa mem_pestat) over the chunk's pairs
+void infer_isize(const MemPipe& mp, int64_t n_pairs, PEStatC pes[4]) {
+  const Opt& o = mp.opt;
+  std::vector<int64_t> isize[4];
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    const auto& r1 = mp.per[i].regions;
+    const auto& r2 = mp.per[n_pairs + i].regions;
+    if (r1.empty() || r2.empty()) continue;
+    if (cal_sub(o, r1) > MIN_RATIO * r1[0].score) continue;
+    if (cal_sub(o, r2) > MIN_RATIO * r2[0].score) continue;
+    int64_t dist;
+    int d = infer_dir(mp.l_pac, r1[0].rb, r2[0].rb, &dist);
+    if (dist > 0 && dist <= o.max_ins) isize[d].push_back(dist);
+  }
+  for (int d = 0; d < 4; ++d) {
+    std::vector<int64_t>& v = isize[d];
+    std::sort(v.begin(), v.end());
+    PEStatC st;
+    if ((int64_t)v.size() < MIN_DIR_CNT) {
+      pes[d] = st;
+      continue;
+    }
+    int64_t nv = (int64_t)v.size();
+    int64_t p25 = v[(int64_t)(0.25 * nv + 0.499)];
+    int64_t p75 = v[(int64_t)(0.75 * nv + 0.499)];
+    st.low = (int64_t)(p25 - OUTLIER_BOUND * (p75 - p25) + 0.499);
+    st.high = (int64_t)(p75 + OUTLIER_BOUND * (p75 - p25) + 0.499);
+    st.low = std::max(st.low, (int64_t)1);
+    double sum = 0;
+    int64_t cnt = 0;
+    for (int64_t x : v)
+      if (x >= st.low && x <= st.high) {
+        sum += (double)x;
+        ++cnt;
+      }
+    if (!cnt) {
+      pes[d] = st;
+      continue;
+    }
+    st.avg = sum / cnt;
+    double var = 0;
+    for (int64_t x : v)
+      if (x >= st.low && x <= st.high)
+        var += ((double)x - st.avg) * ((double)x - st.avg);
+    st.std = std::sqrt(var / cnt);
+    if (st.std == 0.0) st.std = 1.0;  // python `or 1.0`
+    st.low = (int64_t)(p25 - MAPPING_BOUND * (p75 - p25) + 0.499);
+    st.high = (int64_t)(p75 + MAPPING_BOUND * (p75 - p25) + 0.499);
+    st.low =
+        std::min(st.low, (int64_t)(st.avg - MAX_STDDEV * st.std + 0.499));
+    st.high =
+        std::max(st.high, (int64_t)(st.avg + MAX_STDDEV * st.std + 0.499));
+    st.low = std::max(st.low, (int64_t)1);
+    st.failed = false;
+    pes[d] = st;
+  }
+  int64_t cmax = 0;
+  for (int d = 0; d < 4; ++d)
+    cmax = std::max(cmax, (int64_t)isize[d].size());
+  for (int d = 0; d < 4; ++d)
+    if (!pes[d].failed && (int64_t)isize[d].size() < cmax * MIN_DIR_RATIO)
+      pes[d].failed = true;
+}
+
+// pair.py mem_pair: returns (score, sub, n_sub, z found?)
+bool mem_pair(const Opt& o, int64_t l_pac, const PEStatC pes[4],
+              const std::vector<RegionC>& a0,
+              const std::vector<RegionC>& a1, int64_t* score,
+              int64_t* sub, int64_t* n_sub, int64_t z[2]) {
+  struct Cand {
+    int64_t q, i1, i2;
+    bool operator<(const Cand& b) const {
+      if (q != b.q) return q < b.q;
+      if (i1 != b.i1) return i1 < b.i1;
+      return i2 < b.i2;
+    }
+  };
+  std::vector<Cand> cands;
+  for (size_t i1 = 0; i1 < a0.size(); ++i1)
+    for (size_t i2 = 0; i2 < a1.size(); ++i2) {
+      int64_t dist;
+      int d = infer_dir(l_pac, a0[i1].rb, a1[i2].rb, &dist);
+      if (pes[d].failed || dist < pes[d].low || dist > pes[d].high)
+        continue;
+      double ns = ((double)dist - pes[d].avg) / pes[d].std;
+      int64_t q =
+          a0[i1].score + a1[i2].score +
+          (int64_t)(0.721 * std::log(2.0 * std::erfc(std::fabs(ns) *
+                                                     (1.0 / std::sqrt(2.0)))) *
+                        o.a +
+                    0.499);
+      if (q < 0) q = 0;
+      cands.push_back({q, (int64_t)i1, (int64_t)i2});
+    }
+  if (cands.empty()) {
+    *score = 0;
+    *sub = 0;
+    *n_sub = 0;
+    return false;
+  }
+  std::sort(cands.begin(), cands.end());
+  const Cand& best = cands.back();
+  *score = best.q;
+  *sub = cands.size() > 1 ? cands[cands.size() - 2].q : 0;
+  int64_t tmp = std::max(std::max(o.a + o.b, o.o_del + o.e_del),
+                         o.o_ins + o.e_ins);
+  int64_t ns_ = 0;
+  for (size_t k = 0; k + 1 < cands.size(); ++k)
+    if (cands[k].q >= best.q - tmp) ++ns_;
+  *n_sub = ns_;
+  z[0] = best.i1;
+  z[1] = best.i2;
+  return true;
+}
+
+extern "C" void bwamem_ksw_align(const uint8_t*, int64_t, const uint8_t*,
+                                 int64_t, const int8_t*, int64_t, int64_t,
+                                 int64_t, int64_t, int64_t, int64_t*);
+
+// pair.py mem_matesw: rescue the mate around `anchor`
+int mem_matesw(const MemPipe& mp, const PEStatC pes[4],
+               const RegionC& anchor, const uint8_t* mate_read,
+               int64_t l_ms, std::vector<RegionC>& mate_regs) {
+  const Opt& o = mp.opt;
+  int64_t l_pac = mp.l_pac;
+  bool skip[4];
+  for (int r = 0; r < 4; ++r) skip[r] = pes[r].failed;
+  for (const auto& m : mate_regs) {
+    int64_t dist;
+    int r = infer_dir(l_pac, anchor.rb, m.rb, &dist);
+    if (!pes[r].failed && dist >= pes[r].low && dist <= pes[r].high)
+      skip[r] = true;
+  }
+  if (skip[0] && skip[1] && skip[2] && skip[3]) return 0;
+  int n = 0;
+  for (int r = 0; r < 4; ++r) {
+    if (skip[r]) continue;
+    bool is_rev = ((r >> 1) ^ (r & 1)) != 0;
+    bool is_larger = !(r >> 1);
+    std::vector<uint8_t> seq(mate_read, mate_read + l_ms);
+    if (is_rev) {
+      std::reverse(seq.begin(), seq.end());
+      for (auto& c : seq)
+        if (c < 4) c = 3 - c;
+    }
+    int64_t rb, re;
+    if (!is_rev) {
+      rb = is_larger ? anchor.rb + pes[r].low : anchor.rb - pes[r].high;
+      re = (is_larger ? anchor.rb + pes[r].high
+                      : anchor.rb - pes[r].low) +
+           l_ms;
+    } else {
+      rb = (is_larger ? anchor.rb + pes[r].low
+                      : anchor.rb - pes[r].high) -
+           l_ms;
+      re = is_larger ? anchor.rb + pes[r].high : anchor.rb - pes[r].low;
+    }
+    rb = std::max(rb, (int64_t)0);
+    re = std::min(re, l_pac << 1);
+    if (rb < l_pac && l_pac < re) {
+      if (anchor.rb < l_pac)
+        re = l_pac;
+      else
+        rb = l_pac;
+    }
+    if (rb >= re) continue;
+    std::vector<uint8_t> rseq;
+    get_seq(mp, rb, re, rseq);
+    int64_t out6[6];
+    bwamem_ksw_align(seq.data(), l_ms, rseq.data(), (int64_t)rseq.size(),
+                     mp.mat, 5, o.o_del, o.e_del, o.o_ins, o.e_ins, out6);
+    int64_t score = out6[0], qb = out6[1], qe = out6[2], tb = out6[3],
+            te = out6[4], score2 = out6[5];
+    if (score >= o.min_seed_len * o.a && qb >= 0) {
+      RegionC b;
+      if (is_rev) {
+        b.qb = l_ms - qe;
+        b.qe = l_ms - qb;
+        b.rb = (l_pac << 1) - (rb + te);
+        b.re = (l_pac << 1) - (rb + tb);
+      } else {
+        b.qb = qb;
+        b.qe = qe;
+        b.rb = rb + tb;
+        b.re = rb + te;
+      }
+      b.score = b.truesc = score;
+      b.csub = score2;
+      b.secondary = -1;
+      b.w = o.w;
+      b.seedcov = std::min(b.re - b.rb, b.qe - b.qb) >> 1;
+      mate_regs.push_back(b);
+      ++n;
+    }
+  }
+  return n;
+}
+
+// pair.py rescue_pairs
+void rescue_pairs(MemPipe& mp, const PEStatC pes[4], int64_t n_pairs,
+                  int64_t i) {
+  const Opt& o = mp.opt;
+  for (int e = 0; e < 2; ++e) {
+    auto& regs_i = mp.per[e == 0 ? i : n_pairs + i].regions;
+    if (regs_i.empty()) continue;
+    int64_t best = regs_i[0].score;
+    for (const auto& r : regs_i) best = std::max(best, r.score);
+    // anchors iterated in list order, capped at max_matesw; the mate's
+    // region list grows during the loop (matesw appends)
+    std::vector<RegionC> anchors;
+    for (const auto& r : regs_i)
+      if (r.score >= best - o.pen_unpaired) anchors.push_back(r);
+    int64_t other_read = e == 0 ? n_pairs + i : i;
+    const uint8_t* mate = mp.reads + other_read * mp.L;
+    int64_t l_ms = mp.qlen[other_read];
+    auto& mate_regs = mp.per[other_read].regions;
+    int64_t cap = std::min((int64_t)anchors.size(), o.max_matesw);
+    for (int64_t k = 0; k < cap; ++k)
+      mem_matesw(mp, pes, anchors[k], mate, l_ms, mate_regs);
+  }
+}
+
+// align.py aln2sam with a mate (PE flag/field logic); fills the PE
+// fields on `a` in place.
+RecordC aln2sam_pe(const MemPipe& mp, RecordC a, const RecordC& mate,
+                   int which) {
+  const Opt& o = mp.opt;
+  int64_t flag = a.flag;
+  if (o.flag_M && (flag & 0x800)) flag = (flag & ~0x800) | 0x100;
+  flag |= 0x1 | (which == 0 ? 0x40 : 0x80);
+  if (mate.rid < 0 || (mate.flag & 0x4))
+    flag |= 0x8;
+  else if (mate.is_rev)
+    flag |= 0x20;
+  if (a.rid < 0 || (flag & 0x4)) {
+    RecordC rec;
+    rec.flag = (flag | 0x4) & ~(0x10 | 0x100 | 0x800);
+    rec.cigar = "*";
+    rec.rid = -1;
+    if (mate.rid >= 0 && !(mate.flag & 0x4)) {
+      rec.mate_rid = mate.rid;
+      rec.pnext0 = mate.pos;
+      if (mate.is_rev) rec.flag |= 0x20;
+    } else {
+      rec.mate_rid = -1;  // mate also unmapped: bare unmapped record
+    }
+    return rec;
+  }
+  a.flag = flag;
+  if (mate.rid >= 0 && !(mate.flag & 0x4)) {
+    a.mate_rid = mate.rid;
+    a.pnext0 = mate.pos;
+    if (mate.rid == a.rid && !mate.cigar.empty() && mate.cigar != "*" &&
+        !a.cigar.empty() && a.cigar != "*") {
+      int64_t p0 = a.pos + (a.is_rev ? a.ref_span - 1 : 0);
+      int64_t p1 = mate.pos + (mate.is_rev ? mate.ref_span - 1 : 0);
+      int64_t sign = p0 > p1 ? 1 : (p0 < p1 ? -1 : 0);
+      a.tlen = -(p0 - p1 + sign);
+    }
+  } else {
+    // mate unmapped: placed at this read's coordinates
+    a.mate_rid = a.rid;
+    a.pnext0 = a.pos;
+  }
+  return a;
+}
+
+// pair.py sam_pe for pair i; appends all records to per[i].records.
+void sam_pe(MemPipe& mp, int64_t n_pairs, int64_t i,
+            const PEStatC pes[4]) {
+  const Opt& o = mp.opt;
+  int64_t reads_idx[2] = {i, n_pairs + i};
+  std::vector<RegionC> regs[2] = {mp.per[i].regions,
+                                  mp.per[n_pairs + i].regions};
+  mark_primary(o, regs[0]);
+  mark_primary(o, regs[1]);
+  int64_t extra_flag = 1;
+  int64_t z[2] = {-1, -1};
+  int64_t q_se[2] = {-1, -1};
+
+  bool paired_branch = false;
+  if (!regs[0].empty() && !regs[1].empty()) {
+    int64_t score, sub, n_sub, zz[2];
+    bool found = mem_pair(o, mp.l_pac, pes, regs[0], regs[1], &score,
+                          &sub, &n_sub, zz);
+    if (found && score > 0) {
+      bool multi = false;
+      for (int e = 0; e < 2 && !multi; ++e)
+        for (size_t k = 1; k < regs[e].size(); ++k)
+          if (regs[e][k].secondary < 0 && regs[e][k].score >= o.T) {
+            multi = true;
+            break;
+          }
+      if (!multi) {
+        int64_t score_un =
+            regs[0][0].score + regs[1][0].score - o.pen_unpaired;
+        sub = std::max(sub, score_un);
+        int64_t q_pe = (int64_t)(6.02 * (score - sub) / o.a + 0.499);
+        if (n_sub > 0)
+          q_pe -= (int64_t)(4.343 * std::log((double)n_sub + 1) + 0.499);
+        q_pe = std::max((int64_t)0, std::min(q_pe, (int64_t)60));
+        if (score > score_un) {  // paired alignment preferred
+          for (int e = 0; e < 2; ++e) {
+            RegionC& c = regs[e][zz[e]];
+            if (c.secondary >= 0) {
+              c.sub = regs[e][c.secondary].score;
+              c.secondary = -2;
+            }
+            int64_t q = approx_mapq_se(o, c);
+            q = std::max(q, std::min(q_pe, q + 40));
+            q = std::min(q, (int64_t)(6.02 * (c.score - c.csub) / o.a +
+                                      0.499));
+            q_se[e] = q;
+            z[e] = zz[e];
+          }
+          extra_flag |= 2;
+          paired_branch = true;
+        } else {
+          z[0] = 0;
+          z[1] = 0;
+          q_se[0] = approx_mapq_se(o, regs[0][0]);
+          q_se[1] = approx_mapq_se(o, regs[1][0]);
+          paired_branch = true;
+        }
+      }
+    }
+  }
+  if (!paired_branch) {
+    // no pairing: ends independent; flag a coincidental proper pair
+    for (int e = 0; e < 2; ++e)
+      if (!regs[e].empty() && regs[e][0].score >= o.T &&
+          regs[e][0].secondary < 0)
+        z[e] = 0;
+    if (z[0] >= 0 && z[1] >= 0) {
+      int64_t dist;
+      int d = infer_dir(mp.l_pac, regs[0][0].rb, regs[1][0].rb, &dist);
+      if (!pes[d].failed && pes[d].low <= dist && dist <= pes[d].high)
+        extra_flag |= 2;
+    }
+    q_se[0] = q_se[1] = -1;
+  }
+
+  RecordC h[2];
+  for (int e = 0; e < 2; ++e) {
+    if (z[e] >= 0) {
+      h[e] = reg2aln(mp, reads_idx[e], regs[e][z[e]]);
+      if (q_se[e] >= 0) h[e].mapq = q_se[e];
+    } else {
+      h[e] = RecordC();
+      h[e].flag = 0x4;
+      h[e].cigar = "*";
+    }
+    h[e].flag |= extra_flag;
+  }
+  auto& out = mp.per[i].records;
+  for (int e = 0; e < 2; ++e) {
+    RecordC rec = aln2sam_pe(mp, h[e], h[1 - e], e);
+    rec.src_read = reads_idx[e];
+    out.push_back(std::move(rec));
+  }
+  if (o.flag_a) {
+    for (int e = 0; e < 2; ++e) {
+      for (size_t k = 0; k < regs[e].size(); ++k) {
+        if ((int64_t)k == z[e]) continue;
+        const RegionC& p = regs[e][k];
+        if (p.secondary < 0 || p.score < o.T) continue;
+        RecordC q = reg2aln(mp, reads_idx[e], p);
+        q.sub = -1;
+        q.flag |= 0x100;
+        RecordC rec = aln2sam_pe(mp, q, h[1 - e], e);
+        rec.src_read = reads_idx[e];
+        out.push_back(std::move(rec));
+      }
+    }
   }
 }
 
@@ -828,6 +1252,9 @@ void* mp_new(const int64_t* opt_i, const double* opt_d, const int8_t* mat,
   o.flag_M = opt_i[15];
   o.flag_a = opt_i[16];
   o.max_xa_hits = opt_i[17];
+  o.pen_unpaired = opt_i[18];
+  o.max_matesw = opt_i[19];
+  o.max_ins = opt_i[20];
   o.split_factor = opt_d[0];
   o.drop_ratio = opt_d[1];
   o.mask_level = opt_d[2];
@@ -1112,18 +1539,65 @@ int64_t mp_blob_size(void* h) {
   return n;
 }
 
-// fields: (n_records, 12) int64 rows
-// [read_idx, flag, rid, pos, mapq, nm, score(AS), sub(XS; -1 = absent),
-//  is_rev, cigar_len, md_len, xa_len]; strings packed into blob in
-// record order as cigar\0md\0xa\0.
+// Replay + PE pairing for a chunk laid out [reads1..., reads2...]
+// (n_pairs of each): insert-size inference over the chunk, mate
+// rescue, pairing, and record emission — all records land on the
+// read-1 PerRead so export order is pair-grouped.  Returns the total
+// record count.
+int64_t mp_finalize_pe(void* h, int64_t n_pairs, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int nt = std::max((int)nthreads, 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t ri = next.fetch_add(1);
+      if (ri >= mp.n_reads) break;
+      replay_read(mp, ri, mp.per[ri]);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  PEStatC pes[4];
+  infer_isize(mp, n_pairs, pes);
+  std::atomic<int64_t> nextp(0);
+  auto pworker = [&]() {
+    for (;;) {
+      int64_t i = nextp.fetch_add(1);
+      if (i >= n_pairs) break;
+      if (mp.opt.max_matesw > 0) rescue_pairs(mp, pes, n_pairs, i);
+      sam_pe(mp, n_pairs, i, pes);
+    }
+  };
+  if (nt == 1) {
+    pworker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(pworker);
+    for (auto& t : ths) t.join();
+  }
+  int64_t n = 0;
+  for (const auto& pr : mp.per) n += (int64_t)pr.records.size();
+  return n;
+}
+
+// fields: (n_records, 16) int64 rows
+// [src_read, flag, rid, pos, mapq, nm, score(AS), sub(XS; -1 = absent),
+//  is_rev, cigar_len, md_len, xa_len, mate_rid(-9 = SE record),
+//  pnext0, tlen, group]; strings packed into blob in record order as
+// cigar\0md\0xa\0.  `group` is the read index (SE) or pair index (PE).
 void mp_get_records(void* h, int64_t* fields, char* blob) {
   MemPipe& mp = *static_cast<MemPipe*>(h);
   int64_t k = 0;
   char* p = blob;
   for (int64_t ri = 0; ri < mp.n_reads; ++ri) {
     for (const auto& r : mp.per[ri].records) {
-      int64_t* f = fields + k * 12;
-      f[0] = ri;
+      int64_t* f = fields + k * 16;
+      f[0] = r.src_read;
       f[1] = r.flag;
       f[2] = r.rid;
       f[3] = r.pos;
@@ -1135,6 +1609,10 @@ void mp_get_records(void* h, int64_t* fields, char* blob) {
       f[9] = (int64_t)r.cigar.size();
       f[10] = (int64_t)r.md.size();
       f[11] = (int64_t)r.xa.size();
+      f[12] = r.mate_rid;
+      f[13] = r.pnext0;
+      f[14] = r.tlen;
+      f[15] = ri;
       std::memcpy(p, r.cigar.c_str(), r.cigar.size() + 1);
       p += r.cigar.size() + 1;
       std::memcpy(p, r.md.c_str(), r.md.size() + 1);

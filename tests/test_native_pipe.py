@@ -134,6 +134,73 @@ def test_pe_native_regions_identical(world):
         [[r.line() for r in x] for x in got]
 
 
+def _pe_world(rng, ref, n):
+    r1s, r2s = [], []
+    for i in range(n):
+        pos = int(rng.integers(0, ref.l_pac - 500))
+        isize = 300 + int(rng.integers(-30, 30))
+        r1 = ref.pac[pos:pos + 100].astype(np.int64).copy()
+        r2 = revcomp_read(
+            ref.pac[pos + isize - 100:pos + isize].astype(np.int64))
+        kind = i % 6
+        if kind == 1:  # substitutions on read 1
+            for _ in range(4):
+                p = int(rng.integers(0, 100))
+                r1[p] = (r1[p] + 1 + rng.integers(0, 3)) % 4
+        elif kind == 2:  # heavily mutated mate -> rescue path
+            m = ref.pac[pos + isize - 100:pos + isize].astype(
+                np.int64).copy()
+            for p in range(4, 100, 9):
+                m[p] = (m[p] + 1 + rng.integers(0, 3)) % 4
+            r2 = revcomp_read(m)
+        elif kind == 3:  # unmappable mate (all N)
+            r2 = np.full(100, 4, np.int64)
+        r1s.append(r1)
+        r2s.append(r2)
+    return r1s, r2s
+
+
+def test_pe_full_native_sam_identical(world):
+    """The all-C++ PE path (mp_finalize_pe: pestat, mate rescue,
+    pairing, sam_pe) == the Python align_pairs oracle, byte for byte,
+    including rescued mates, unmapped ends, TLEN and mate fields."""
+    from bwamem_tpu.pipeline.pair import align_pairs
+
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 36)
+    names = [f"p{i}" for i in range(36)]
+    q1 = ["".join(chr(33 + int(x)) for x in rng.integers(20, 40, len(r)))
+          for r in r1s]
+    q2 = ["".join(chr(33 + int(x)) for x in rng.integers(20, 40, len(r)))
+          for r in r2s]
+    row_fn, raw_t_fn = _backends(opt)
+    want = align_pairs(opt, ref, fm, r1s, r2s, names=names, quals1=q1,
+                       quals2=q2, po=po, extend_batch_fn=row_fn)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po, nthreads=3)
+    got = pipe.align_pairs_chunk(r1s, r2s, raw_t_fn, names=names,
+                                 quals1=q1, quals2=q2)
+    want_lines = [[r.line() for r in rr] for rr in want]
+    got_lines = [[r.line() for r in rr] for rr in got]
+    for i, (w, g) in enumerate(zip(want_lines, got_lines)):
+        assert w == g, (i, w, g)
+
+
+def test_pe_full_native_no_a(world):
+    from bwamem_tpu.pipeline.pair import align_pairs
+
+    opt = MemOptions(flag_a=False)
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 24)
+    row_fn, raw_t_fn = _backends(opt)
+    want = align_pairs(opt, ref, fm, r1s, r2s, po=po,
+                       extend_batch_fn=row_fn)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po)
+    got = pipe.align_pairs_chunk(r1s, r2s, raw_t_fn)
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
 def test_regions_match_compute_regions(world):
     """regions_chunk == the Python compute_regions pipeline (PE input)."""
     from bwamem_tpu.pipeline.align import compute_regions
