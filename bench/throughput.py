@@ -64,20 +64,24 @@ def main():
     po = pack_occ(fm)
     print(f"[index] {t_index:.1f}s", file=sys.stderr)
 
+    # vectorized read simulation (the Python per-read loop dominates
+    # wall time past ~1M reads); chunked to bound transient memory
     reads, mates = [], []
-    for i in range(args.reads):
-        pos = int(rng.integers(0, n_bp - 600))
-        r = pac[pos:pos + args.read_len].astype(np.int64).copy()
-        nmut = rng.binomial(args.read_len, 0.01)
-        for _ in range(nmut):
-            r[rng.integers(0, args.read_len)] = rng.integers(0, 4)
-        if i % 2:
-            r = revcomp_read(r)
-        reads.append(r)
+    rl = args.read_len
+    span = np.arange(rl)
+    for lo in range(0, args.reads, 1 << 20):
+        n = min(args.reads - lo, 1 << 20)
+        pos = rng.integers(0, n_bp - 600, size=n)
+        R = pac[pos[:, None] + span].astype(np.int64)
+        mut = rng.random((n, rl)) < 0.01
+        R[mut] = rng.integers(0, 4, int(mut.sum()))
+        R[1::2] = 3 - R[1::2, ::-1]
+        reads.extend(R)
         if args.paired:
-            isize = int(rng.normal(350, 30))
-            m = pac[pos + isize - args.read_len:pos + isize]
-            mates.append(revcomp_read(m.astype(np.int64)))
+            isize = rng.normal(350, 30, size=n).astype(np.int64)
+            M = pac[(pos + isize - rl)[:, None] + span].astype(np.int64)
+            mates.extend(3 - M[:, ::-1])
+    del span
 
     from bwamem_tpu.pipeline import native_driver
 
@@ -121,17 +125,24 @@ def main():
     t0 = time.time()
     n_rec = 0
     chunk_times = []
-    if use_native and not args.paired and args.overlap:
+    if use_native and args.overlap:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
+
+        def submit(ex, ci, i):
+            chunk = reads[i:i + args.batch]
+            if args.paired:
+                return len(chunk), ex.submit(
+                    pipes[ci % 2].align_pairs_chunk, chunk,
+                    mates[i:i + args.batch], raw_t_fn)
+            return len(chunk), ex.submit(
+                pipes[ci % 2].align_chunk, chunk, raw_t_fn)
 
         with ThreadPoolExecutor(max_workers=2) as ex:
             futs: deque = deque()
             tc = time.time()
             for ci, i in enumerate(range(0, len(reads), args.batch)):
-                chunk = reads[i:i + args.batch]
-                futs.append((len(chunk), ex.submit(
-                    pipes[ci % 2].align_chunk, chunk, raw_t_fn)))
+                futs.append(submit(ex, ci, i))
                 while len(futs) >= 2:
                     nc, f = futs.popleft()
                     n_rec += sum(len(x) for x in f.result())
@@ -148,10 +159,8 @@ def main():
             chunk = reads[i:i + args.batch]
             if args.paired:
                 if use_native:
-                    recs = align_pairs(opt, ref, fm, chunk,
-                                       mates[i:i + args.batch], po=po,
-                                       native_pipe=pipes[0],
-                                       raw_t_fn=raw_t_fn)
+                    recs = pipes[0].align_pairs_chunk(
+                        chunk, mates[i:i + args.batch], raw_t_fn)
                 else:
                     recs = align_pairs(opt, ref, fm, chunk,
                                        mates[i:i + args.batch], po=po,
