@@ -38,6 +38,9 @@ def main():
     ap.add_argument("-t", "--threads", type=int, default=1)
     ap.add_argument("--overlap", action="store_true",
                     help="double-buffered chunk pipeline (2 handles)")
+    ap.add_argument("--phased", action="store_true",
+                    help="use the 4-pass protocol instead of the fused "
+                         "whole-alignment kernel")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -107,8 +110,10 @@ def main():
         if use_native:
             if args.backend == "jax":
                 raw_t_fn = native_driver.make_jax_raw_t_backend(params)
-            else:
+            elif args.phased:
                 raw_t_fn = native_driver.make_raw_t_backend(params)
+            else:  # fused whole-alignment kernel: 1 round trip/chunk
+                raw_t_fn = native_driver.make_fused_backend(params)
             pipes = [native_driver.NativePipeline(
                 opt, ref, fm, po, nthreads=args.threads)
                 for _ in range(2 if args.overlap else 1)]

@@ -102,7 +102,8 @@ def make_raw_t_backend(opt, backend: str):
     params = _extend_params(opt)
     if backend == "jax":
         return native_driver.make_jax_raw_t_backend(params)
-    return native_driver.make_raw_t_backend(params)
+    # fused whole-alignment kernel: one device round trip per chunk
+    return native_driver.make_fused_backend(params)
 
 
 def cmd_mem(args) -> int:

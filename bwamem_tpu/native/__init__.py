@@ -227,6 +227,15 @@ def _bind_mempipe(lib):
     lib.mp_pass_done.argtypes = [ctypes.c_void_p, i64, p32, i64]
     lib.mp_prepare_right.restype = i64
     lib.mp_prepare_right.argtypes = [ctypes.c_void_p]
+    lib.mp_prepare_fused.restype = i64
+    lib.mp_prepare_fused.argtypes = [ctypes.c_void_p]
+    lib.mp_fused_dims.restype = None
+    lib.mp_fused_dims.argtypes = [ctypes.c_void_p, p64, p64, p64, p64]
+    lib.mp_fill_fused.restype = None
+    lib.mp_fill_fused.argtypes = [ctypes.c_void_p, pi8, i64, pi8, i64,
+                                  pi8, i64, pi8, i64, p32, i64]
+    lib.mp_fused_done.restype = None
+    lib.mp_fused_done.argtypes = [ctypes.c_void_p, p32, i64]
     lib.mp_finalize.restype = i64
     lib.mp_finalize.argtypes = [ctypes.c_void_p, i64]
     lib.mp_finalize_pe.restype = i64

@@ -77,27 +77,21 @@ def _prefix_max_sub(x, sidx, qmax, neg):
     return x
 
 
-def _extend_kernel_t(tmax_ref, prm_ref, query_ref, target_ref, scal_ref,
-                     out_ref, *, qmax, dt=jnp.int32, early_exit=True):
-    """Transposed layout: query columns on SUBLANES, tasks on LANES.
+def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
+               tmax, dt, early_exit=True, inactive=None, t_rev_from=None):
+    """One banded-extension pass in the transposed layout (query columns
+    on SUBLANES, tasks on LANES) — the shared row loop of the per-phase
+    and fused kernels.
 
-    Identical semantics to _extend_kernel; this layout is the fast one on
-    TPU because (a) the per-row target symbol is a dynamic SUBLANE slice
-    (legal and cheap — no rolled target copy), (b) the row reductions
-    (row max, argmax, h1_last, band trim) reduce along sublanes, and
-    (c) the F prefix-scan shifts along sublanes.  Cross-LANE traffic —
-    the expensive direction, measured at ~80% of the row-major kernel's
-    runtime — is eliminated entirely from the row loop.
-
-    Scoring parameters arrive in the scalar-prefetch block `prm_ref`
-    ([a, b, o_del, e_del, o_ins, e_ins, zdrop, 0]) instead of being
-    baked in at trace time — the reference takes them per batch in
-    header words 0-1 (task_parse.v:1954-1955), and here one compiled
-    kernel serves any MemOptions (changing -A/-B/-O/-E recompiles
-    nothing).
+    `inactive` (optional (1, BLK_L) bool) marks lanes this pass must
+    skip (fused-kernel retry phases); `t_rev_from` (optional (1, BLK_L))
+    reads target row i as target_ref[t_rev_from - 1 - i] per lane —
+    unused today (left targets arrive pre-reversed from the host).
+    Returns (best, max_j, max_i, max_ie, gscore, max_off), each
+    (1, BLK_L) in dt, with the same semantics as ksw_extend_core.
     """
-    g = pl.program_id(0)
-    blk_l = query_ref.shape[1]                    # tasks per block (lanes)
+    del t_rev_from
+    blk_l = query.shape[1]
     a = prm_ref[0].astype(dt)
     b = prm_ref[1].astype(dt)
     o_del = prm_ref[2].astype(dt)
@@ -109,12 +103,6 @@ def _extend_kernel_t(tmax_ref, prm_ref, query_ref, target_ref, scal_ref,
     oe_ins = o_ins + e_ins
     NEG = jnp.asarray(-(1 << 14) if dt == jnp.int16 else -(1 << 29), dt)
     BIG = jnp.asarray((1 << 14) if dt == jnp.int16 else (1 << 29), dt)
-
-    query = query_ref[:, :].astype(dt)            # (QMAX, BLK_L)
-    qlen = scal_ref[0:1, :].astype(dt)            # (1, BLK_L)
-    tlen = scal_ref[1:2, :].astype(dt)
-    aw = scal_ref[2:3, :].astype(dt)
-    h0 = scal_ref[3:4, :].astype(dt)
 
     sidx = jax.lax.broadcasted_iota(jnp.int32, (qmax, blk_l), 0).astype(dt)
     query_isN = query > 3
@@ -129,6 +117,8 @@ def _extend_kernel_t(tmax_ref, prm_ref, query_ref, target_ref, scal_ref,
     init_e = jnp.zeros((qmax, blk_l), dt)
 
     valid = (qlen > 0) & (tlen > 0) & (h0 > 0)
+    if inactive is not None:
+        valid = valid & jnp.logical_not(inactive)
     done0 = 1 - valid.astype(jnp.int32)
 
     def rmax0(x):
@@ -222,7 +212,6 @@ def _extend_kernel_t(tmax_ref, prm_ref, query_ref, target_ref, scal_ref,
     m1 = jnp.full((1, blk_l), -1, dt)
     carry = (jnp.int32(0), init_h, init_e, z1, qlen, done0, h0,
              m1, m1, m1, m1, z1)
-    tmax = tmax_ref[g]
 
     if early_exit:
         def cond(c):
@@ -233,10 +222,122 @@ def _extend_kernel_t(tmax_ref, prm_ref, query_ref, target_ref, scal_ref,
 
     carry = jax.lax.while_loop(cond, row, carry)
     (_, _, _, _, _, _, best, max_i, max_jv, max_ie, gscore, max_off) = carry
+    return best, max_jv, max_i, max_ie, gscore, max_off
 
+
+def _extend_kernel_t(tmax_ref, prm_ref, query_ref, target_ref, scal_ref,
+                     out_ref, *, qmax, dt=jnp.int32, early_exit=True):
+    """Transposed layout: query columns on SUBLANES, tasks on LANES.
+
+    Identical semantics to _extend_kernel; this layout is the fast one on
+    TPU because (a) the per-row target symbol is a dynamic SUBLANE slice
+    (legal and cheap — no rolled target copy), (b) the row reductions
+    (row max, argmax, h1_last, band trim) reduce along sublanes, and
+    (c) the F prefix-scan shifts along sublanes.  Cross-LANE traffic —
+    the expensive direction, measured at ~80% of the row-major kernel's
+    runtime — is eliminated entirely from the row loop.
+
+    Scoring parameters arrive in the scalar-prefetch block `prm_ref`
+    ([a, b, o_del, e_del, o_ins, e_ins, zdrop, 0]) instead of being
+    baked in at trace time — the reference takes them per batch in
+    header words 0-1 (task_parse.v:1954-1955), and here one compiled
+    kernel serves any MemOptions (changing -A/-B/-O/-E recompiles
+    nothing).
+    """
+    g = pl.program_id(0)
+    blk_l = query_ref.shape[1]                    # tasks per block (lanes)
+    query = query_ref[:, :].astype(dt)            # (QMAX, BLK_L)
+    qlen = scal_ref[0:1, :].astype(dt)            # (1, BLK_L)
+    tlen = scal_ref[1:2, :].astype(dt)
+    aw = scal_ref[2:3, :].astype(dt)
+    h0 = scal_ref[3:4, :].astype(dt)
+
+    best, max_jv, max_i, max_ie, gscore, max_off = _band_pass(
+        target_ref, query, qlen, tlen, aw, h0, prm_ref, qmax=qmax,
+        tmax=tmax_ref[g], dt=dt, early_exit=early_exit)
+
+    z1 = jnp.zeros((1, blk_l), dt)
     out_ref[:, :] = jnp.concatenate(
         [best, max_jv + 1, max_i + 1, max_ie + 1, gscore, max_off, aw, z1],
         axis=0).astype(jnp.int32)
+
+
+def _extend_kernel_fused(tmax_ref, prm_ref, ql_ref, tl_ref, qr_ref,
+                         tr_ref, scal_ref, out_ref, *, qmax_l, qmax_r,
+                         dt=jnp.int32, early_exit=True):
+    """Whole-alignment kernel: left extension, in-kernel band-doubling
+    retry, left->right h0 chaining, right extension and its retry — one
+    device round trip per chunk instead of four.
+
+    Each LANE is one (chain, seed) extension candidate carrying both its
+    left task (reversed query prefix / reversed target) and right task
+    (query suffix / forward target).  The four phases run as sequential
+    row loops over the whole block; a retry phase costs zero iterations
+    when no lane in the block needs it (early exit on the done vector).
+    The reference hardware runs band doubling the same way — inside the
+    PE, without a host round trip (sw_extend.v:1765/1963); the FPGA host
+    only sees final results.
+
+    scal rows: [0]=qlen_l [1]=tlen_l [2]=aw0_l [3]=h0_seed [4]=aw1_l
+    [5]=qlen_r [6]=tlen_r [7]=aw0_r [8]=aw1_r [9]=w (for the retry
+    threshold (w>>1)+(w>>2), bwa's aggressive_split heuristic).
+    Output rows: 4 groups of 8 — [L0 | L1 | R0 | R1], each
+    [score, qle, tle, gtle, gscore, max_off, aw, 0] like the per-phase
+    kernel; retry groups are garbage for lanes that did not retry (the
+    host replays the same convergence rule and ignores them —
+    csrc/mempipe.cpp mp_pass_done semantics are preserved exactly).
+    """
+    g = pl.program_id(0)
+    blk_l = ql_ref.shape[1]
+    query_l = ql_ref[:, :].astype(dt)
+    query_r = qr_ref[:, :].astype(dt)
+    qlen_l = scal_ref[0:1, :].astype(dt)
+    tlen_l = scal_ref[1:2, :].astype(dt)
+    aw0_l = scal_ref[2:3, :].astype(dt)
+    h0_seed = scal_ref[3:4, :].astype(dt)
+    aw1_l = scal_ref[4:5, :].astype(dt)
+    qlen_r = scal_ref[5:6, :].astype(dt)
+    tlen_r = scal_ref[6:7, :].astype(dt)
+    aw0_r = scal_ref[7:8, :].astype(dt)
+    aw1_r = scal_ref[8:9, :].astype(dt)
+    wv = scal_ref[9:10, :].astype(dt)
+    thr = (wv >> 1) + (wv >> 2)
+
+    def emit(row0, res, aw):
+        best, max_jv, max_i, max_ie, gscore, max_off = res
+        z1 = jnp.zeros((1, blk_l), dt)
+        out_ref[row0:row0 + 8, :] = jnp.concatenate(
+            [best, max_jv + 1, max_i + 1, max_ie + 1, gscore, max_off,
+             aw, z1], axis=0).astype(jnp.int32)
+
+    # L0 / L1: the in-kernel compacted-retry replacement.  Retry rule
+    # matches mp_pass_done: !(max_off < (w>>1)+(w>>2)) — score==prev is
+    # checked only at resolve time (both paths store both passes).
+    res_l0 = _band_pass(tl_ref, query_l, qlen_l, tlen_l, aw0_l, h0_seed,
+                        prm_ref, qmax=qmax_l, tmax=tmax_ref[g, 0], dt=dt,
+                        early_exit=early_exit)
+    emit(0, res_l0, aw0_l)
+    conv_l = res_l0[5] < thr
+    res_l1 = _band_pass(tl_ref, query_l, qlen_l, tlen_l, aw1_l, h0_seed,
+                        prm_ref, qmax=qmax_l, tmax=tmax_ref[g, 0], dt=dt,
+                        early_exit=early_exit, inactive=conv_l)
+    emit(8, res_l1, aw1_l)
+
+    # resolve(left, prev=-1): k0 iff max_off0 < thr (score==-1 is
+    # impossible: best >= h0 > 0); lanes with no left task fall through
+    # to h0_seed because _band_pass leaves best = h0 when invalid
+    score_l = jnp.where(conv_l, res_l0[0], res_l1[0])
+    h0_r = score_l
+
+    res_r0 = _band_pass(tr_ref, query_r, qlen_r, tlen_r, aw0_r, h0_r,
+                        prm_ref, qmax=qmax_r, tmax=tmax_ref[g, 1], dt=dt,
+                        early_exit=early_exit)
+    emit(16, res_r0, aw0_r)
+    conv_r = res_r0[5] < thr
+    res_r1 = _band_pass(tr_ref, query_r, qlen_r, tlen_r, aw1_r, h0_r,
+                        prm_ref, qmax=qmax_r, tmax=tmax_ref[g, 1], dt=dt,
+                        early_exit=early_exit, inactive=conv_r)
+    emit(24, res_r1, aw1_r)
 
 
 def _extend_kernel(tmax_ref, query_ref, target_ref, scal_ref, out_ref, *,
@@ -500,6 +601,57 @@ def extend_batch_raw_t(query_t, target_t, scal_t, tmax,
         out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
         interpret=interpret,
     )(tmax, jnp.asarray(prm, jnp.int32), query_t, target_t, scal_t)
+
+
+def extend_batch_raw_fused(query_l_t, target_l_t, query_r_t, target_r_t,
+                           scal_t, tmax2, prm, *, blk_l: int = 512,
+                           interpret: bool = False,
+                           compute_dtype=jnp.int32,
+                           early_exit: bool = True):
+    """Fused whole-alignment invocation: one pallas_call runs
+    L0/L-retry/R0/R-retry for every lane (see _extend_kernel_fused).
+
+    query_l_t (QL, B), target_l_t (TL, B), query_r_t (QR, B),
+    target_r_t (TR, B) int8; scal_t (16, B) int32 (rows documented on
+    the kernel); tmax2 (grid, 2) int32 per-block row bounds [left,
+    right].  Returns (32, B) int32: [L0 | L1 | R0 | R1] x
+    [score, qle, tle, gtle, gscore, max_off, aw, 0].
+    """
+    qmax_l, B = query_l_t.shape
+    qmax_r = query_r_t.shape[0]
+    assert B % blk_l == 0, (B, blk_l)
+    grid = B // blk_l
+
+    kernel = functools.partial(
+        _extend_kernel_fused, qmax_l=qmax_l, qmax_r=qmax_r,
+        dt=compute_dtype, early_exit=early_exit)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((qmax_l, blk_l), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((target_l_t.shape[0], blk_l),
+                         lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qmax_r, blk_l), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((target_r_t.shape[0], blk_l),
+                         lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, blk_l), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((32, blk_l), lambda g, *_: (0, g),
+                               memory_space=pltpu.VMEM),
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((32, B), jnp.int32),
+        interpret=interpret,
+    )(tmax2, jnp.asarray(prm, jnp.int32), query_l_t, target_l_t,
+      query_r_t, target_r_t, scal_t)
 
 
 def pack_scal(qlen, tlen, aw, h0, blk_b: int = 128):

@@ -164,6 +164,58 @@ class NativePipeline:
             if nretry == 0:
                 return
 
+    def _run_fused(self, fused_fn):
+        """One device call for the whole chunk: the fused kernel runs
+        L0/L-retry/R0/R-retry with in-lane h0 chaining (the four-pass
+        protocol's round trips through the device tunnel were the
+        single-chip limiter)."""
+        import time
+
+        n = int(self.lib.mp_prepare_fused(self.h))
+        if n == 0:
+            return
+        d = [ctypes.c_int64() for _ in range(4)]
+        self.lib.mp_fused_dims(self.h, *(ctypes.byref(x) for x in d))
+        qmax_l = _bucket(max(int(d[0].value), 1))
+        tmax_l = _bucket(max(int(d[1].value), 1))
+        qmax_r = _bucket(max(int(d[2].value), 1))
+        tmax_r = _bucket(max(int(d[3].value), 1))
+        Bp = _bucket(max(n, self.blk_l),
+                     (512, 1024, 2048, 4096, 8192, 16384))
+        q = getattr(fused_fn, "bp_quantum", self.blk_l)
+        if Bp % q:
+            Bp = -(-Bp // q) * q
+        ql = np.zeros((qmax_l, Bp), np.int8)
+        tl = np.zeros((tmax_l, Bp), np.int8)
+        qr = np.zeros((qmax_r, Bp), np.int8)
+        tr = np.zeros((tmax_r, Bp), np.int8)
+        scal = np.zeros((16, Bp), np.int32)
+        self.lib.mp_fill_fused(
+            self.h, ql.ctypes.data_as(_PI8), qmax_l,
+            tl.ctypes.data_as(_PI8), tmax_l, qr.ctypes.data_as(_PI8),
+            qmax_r, tr.ctypes.data_as(_PI8), tmax_r,
+            scal.ctypes.data_as(_P32), Bp)
+        grid = Bp // self.blk_l
+        tmax2 = np.zeros((grid, 2), np.int32)
+        tmax2[:, 0] = np.max(
+            np.where(scal[0].reshape(grid, self.blk_l) > 0,
+                     scal[1].reshape(grid, self.blk_l), 0), axis=1)
+        tmax2[:, 1] = np.max(
+            np.where(scal[5].reshape(grid, self.blk_l) > 0,
+                     scal[6].reshape(grid, self.blk_l), 0), axis=1)
+        t0 = time.time()
+        out = np.ascontiguousarray(
+            np.asarray(fused_fn(ql, tl, qr, tr, scal, tmax2)), np.int32)
+        if self.tracer is not None:
+            from bwamem_tpu.utils.metrics import band_cells
+
+            cells = band_cells(scal[0], scal[1], scal[2]) + band_cells(
+                scal[5], scal[6], scal[7])
+            self.tracer.batch("extend_fused", n, cells, time.time() - t0,
+                              Bp=Bp, qmax=max(qmax_l, qmax_r),
+                              tmax=max(tmax_l, tmax_r))
+        self.lib.mp_fused_done(self.h, out.ctypes.data_as(_P32), Bp)
+
     def _extend(self, reads, raw_t_fn):
         import time
 
@@ -171,6 +223,9 @@ class NativePipeline:
         self._chunk_start(reads)
         if self.tracer is not None:
             self.tracer.host(len(reads), time.time() - t0)
+        if getattr(raw_t_fn, "fused", False):
+            self._run_fused(raw_t_fn)
+            return
         self._run_phase(raw_t_fn, "L")
         self.lib.mp_prepare_right(self.h)
         self._run_phase(raw_t_fn, "R")
@@ -351,6 +406,34 @@ def make_raw_t_backend(params, blk_l: int = 512, interpret: bool = False):
                   prm if prm_override is None else prm_override)
 
     return raw_t
+
+
+def make_fused_backend(params, blk_l: int = 512, interpret: bool = False):
+    """Jitted fused whole-alignment backend (one device round trip per
+    chunk — ops/extend_pallas._extend_kernel_fused).  Scoring params
+    remain a jit argument: zero recompiles across MemOptions."""
+    import jax
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.extend_pallas import (
+        extend_batch_raw_fused,
+        params_vector,
+    )
+
+    prm = params_vector(params)
+
+    fn = jax.jit(lambda ql, tl, qr, tr, s, tm, p: extend_batch_raw_fused(
+        ql.astype(jnp.int32), tl.astype(jnp.int32),
+        qr.astype(jnp.int32), tr.astype(jnp.int32), s, tm, p,
+        blk_l=blk_l, interpret=interpret))
+
+    def fused(ql, tl, qr, tr, scal_t, tmax2, prm_override=None):
+        return fn(ql, tl, qr, tr, scal_t, tmax2,
+                  prm if prm_override is None else prm_override)
+
+    fused.fused = True
+    fused.bp_quantum = blk_l
+    return fused
 
 
 def make_jax_raw_t_backend(params):

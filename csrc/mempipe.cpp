@@ -146,6 +146,13 @@ struct MemPipe {
   int phase = 0;  // 0 = L, 1 = R
   int pass_k = 0;
   std::vector<std::pair<int32_t, int32_t>> cur;  // (read, task) sorted
+  // fused protocol: one lane per (chain, seed) candidate; task index
+  // -1 = that side absent
+  struct FusedLane {
+    int32_t ri, lt, rt;
+    int64_t h0_seed;
+  };
+  std::vector<FusedLane> fused;
   // record export offsets
   std::vector<int64_t> rec_read;  // flattened record -> read idx
 };
@@ -1496,6 +1503,153 @@ int64_t mp_prepare_right(void* h) {
                             mp.per[y.first].tasks[y.second].tlen;
                    });
   return (int64_t)mp.cur.size();
+}
+
+// ---- fused whole-alignment protocol: ONE device call per chunk ----
+// (ops/extend_pallas._extend_kernel_fused runs L0/L-retry/R0/R-retry
+// with in-lane h0 chaining; the four-round-trip mp_fill_tasks /
+// mp_pass_done / mp_prepare_right loop above remains as the tested
+// fallback and the sharded path's protocol)
+
+// Build the fused lane list: one lane per (chain, seed) candidate that
+// has at least one extension side.  Returns the lane count.
+int64_t mp_prepare_fused(void* h) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  mp.fused.clear();
+  for (int64_t ri = 0; ri < mp.n_reads; ++ri) {
+    PerRead& pr = mp.per[ri];
+    for (size_t ci = 0; ci < pr.chains.size(); ++ci) {
+      const ChainC& c = pr.chains[ci];
+      for (size_t si = 0; si < c.seeds.size(); ++si) {
+        int32_t lt = pr.tidx[ci][si * 2];
+        int32_t rt = pr.tidx[ci][si * 2 + 1];
+        if (lt < 0 && rt < 0) continue;
+        mp.fused.push_back({(int32_t)ri, lt, rt,
+                            c.seeds[si].len * mp.opt.a});
+      }
+    }
+  }
+  // longest total row count first keeps per-block tmax bounds tight
+  auto rows = [&](const MemPipe::FusedLane& f) {
+    int64_t r = 0;
+    const auto& ts = mp.per[f.ri].tasks;
+    if (f.lt >= 0) r += ts[f.lt].tlen;
+    if (f.rt >= 0) r += ts[f.rt].tlen;
+    return r;
+  };
+  std::stable_sort(mp.fused.begin(), mp.fused.end(),
+                   [&](const MemPipe::FusedLane& x,
+                       const MemPipe::FusedLane& y) {
+                     return rows(x) > rows(y);
+                   });
+  return (int64_t)mp.fused.size();
+}
+
+void mp_fused_dims(void* h, int64_t* qmax_l, int64_t* tmax_l,
+                   int64_t* qmax_r, int64_t* tmax_r) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int64_t ql = 1, tl = 1, qr = 1, tr = 1;
+  for (const auto& f : mp.fused) {
+    const auto& ts = mp.per[f.ri].tasks;
+    if (f.lt >= 0) {
+      ql = std::max(ql, ts[f.lt].qlen);
+      tl = std::max(tl, ts[f.lt].tlen);
+    }
+    if (f.rt >= 0) {
+      qr = std::max(qr, ts[f.rt].qlen);
+      tr = std::max(tr, ts[f.rt].tlen);
+    }
+  }
+  *qmax_l = ql;
+  *tmax_l = tl;
+  *qmax_r = qr;
+  *tmax_r = tr;
+}
+
+// Fill the fused kernel inputs (transposed, int8 base codes, caller-
+// zeroed).  scal_t rows: [qlen_l, tlen_l, aw0_l, h0_seed, aw1_l,
+// qlen_r, tlen_r, aw0_r, aw1_r, w, 0...] (16 rows).
+void mp_fill_fused(void* h, int8_t* ql_t, int64_t qmax_l, int8_t* tl_t,
+                   int64_t tmax_l, int8_t* qr_t, int64_t qmax_r,
+                   int8_t* tr_t, int64_t tmax_r, int32_t* scal_t,
+                   int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  (void)qmax_l;
+  (void)tmax_l;
+  (void)qmax_r;
+  (void)tmax_r;
+  for (size_t slot = 0; slot < mp.fused.size(); ++slot) {
+    const auto& f = mp.fused[slot];
+    const auto& pr = mp.per[f.ri];
+    scal_t[3 * Bp + slot] = (int32_t)f.h0_seed;
+    scal_t[9 * Bp + slot] = (int32_t)o.w;
+    if (f.lt >= 0) {
+      const TaskC& t = pr.tasks[f.lt];
+      const uint8_t* q = pr.qbuf.data() + t.qoff;
+      for (int64_t j = 0; j < t.qlen; ++j)
+        ql_t[j * Bp + slot] = (int8_t)q[j];
+      const std::vector<uint8_t>& rs = pr.rseq[t.ci];
+      for (int64_t j = 0; j < t.tlen; ++j)  // left target reversed
+        tl_t[j * Bp + slot] = (int8_t)rs[t.tlen - 1 - j];
+      scal_t[0 * Bp + slot] = (int32_t)t.qlen;
+      scal_t[1 * Bp + slot] = (int32_t)t.tlen;
+      scal_t[2 * Bp + slot] =
+          (int32_t)std::min(o.w, std::min(t.max_ins, t.max_del));
+      scal_t[4 * Bp + slot] =
+          (int32_t)std::min(o.w << 1, std::min(t.max_ins, t.max_del));
+    }
+    if (f.rt >= 0) {
+      const TaskC& t = pr.tasks[f.rt];
+      const uint8_t* q = pr.qbuf.data() + t.qoff;
+      for (int64_t j = 0; j < t.qlen; ++j)
+        qr_t[j * Bp + slot] = (int8_t)q[j];
+      const std::vector<uint8_t>& rs = pr.rseq[t.ci];
+      for (int64_t j = 0; j < t.tlen; ++j)
+        tr_t[j * Bp + slot] = (int8_t)rs[t.toff + j];
+      scal_t[5 * Bp + slot] = (int32_t)t.qlen;
+      scal_t[6 * Bp + slot] = (int32_t)t.tlen;
+      scal_t[7 * Bp + slot] =
+          (int32_t)std::min(o.w, std::min(t.max_ins, t.max_del));
+      scal_t[8 * Bp + slot] =
+          (int32_t)std::min(o.w << 1, std::min(t.max_ins, t.max_del));
+    }
+  }
+}
+
+// Consume the fused kernel output res_t (32, Bp) int32: row groups
+// [L0 | L1 | R0 | R1] x [score, qle, tle, gtle, gscore, max_off, aw,
+// 0].  Stores res[0]/res[1] per task with exactly mp_pass_done's
+// retry rule (!(max_off0 < (w>>1)+(w>>2))), so replay_read's resolve()
+// sees byte-identical state to the four-pass protocol.
+void mp_fused_done(void* h, const int32_t* res_t, int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int64_t thr = (mp.opt.w >> 1) + (mp.opt.w >> 2);
+  auto grp = [&](int64_t base, size_t slot) {
+    ExtRes r;
+    r.score = res_t[(base + 0) * Bp + slot];
+    r.qle = res_t[(base + 1) * Bp + slot];
+    r.tle = res_t[(base + 2) * Bp + slot];
+    r.gtle = res_t[(base + 3) * Bp + slot];
+    r.gscore = res_t[(base + 4) * Bp + slot];
+    r.max_off = res_t[(base + 5) * Bp + slot];
+    return r;
+  };
+  for (size_t slot = 0; slot < mp.fused.size(); ++slot) {
+    const auto& f = mp.fused[slot];
+    auto& ts = mp.per[f.ri].tasks;
+    if (f.lt >= 0) {
+      TaskC& t = ts[f.lt];
+      t.res[0] = grp(0, slot);
+      t.res[1] = t.res[0].max_off < thr ? t.res[0] : grp(8, slot);
+    }
+    if (f.rt >= 0) {
+      TaskC& t = ts[f.rt];
+      t.res[0] = grp(16, slot);
+      t.res[1] = t.res[0].max_off < thr ? t.res[0] : grp(24, slot);
+    }
+  }
+  mp.fused.clear();
 }
 
 // Replay + regions + records for the whole chunk, threaded.

@@ -66,11 +66,15 @@ def make_reads(rng, ref, n, read_len=120):
     return reads, names, quals
 
 
-def _backends(opt):
-    params = ExtendParams(
+def _params(opt):
+    return ExtendParams(
         mat_flat=jnp.asarray(opt.mat.astype(np.int32).ravel()), m=5,
         o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
         e_ins=opt.e_ins, zdrop=opt.zdrop)
+
+
+def _backends(opt):
+    params = _params(opt)
     row_fn = jax.jit(lambda *a: extend_batch_core(*a, params))
     raw_t_fn = native_driver.make_jax_raw_t_backend(params)
     return row_fn, raw_t_fn
@@ -197,6 +201,45 @@ def test_pe_full_native_no_a(world):
                        extend_batch_fn=row_fn)
     pipe = native_driver.NativePipeline(opt, ref, fm, po)
     got = pipe.align_pairs_chunk(r1s, r2s, raw_t_fn)
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
+def test_fused_sam_identical(world):
+    """The fused one-call protocol (mp_prepare_fused + the fused Pallas
+    kernel, interpret mode) == the Python oracle SAM byte for byte —
+    i.e. in-kernel band-doubling retry and in-lane left->right h0
+    chaining reproduce the four-pass protocol exactly."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    reads, names, quals = make_reads(rng, ref, 32)
+    row_fn, _ = _backends(opt)
+    fused_fn = native_driver.make_fused_backend(_params(opt), blk_l=128,
+                                                interpret=True)
+    want = align_batch(opt, ref, fm, reads, row_fn, names=names,
+                       quals=quals, po=po)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128)
+    got = pipe.align_chunk(reads, fused_fn, names=names, quals=quals)
+    want_lines = [[r.line() for r in rr] for rr in want]
+    got_lines = [[r.line() for r in rr] for rr in got]
+    for i, (w, g) in enumerate(zip(want_lines, got_lines)):
+        assert w == g, (i, w, g)
+
+
+def test_fused_pe_sam_identical(world):
+    """Fused protocol through the all-C++ PE path == Python PE oracle."""
+    from bwamem_tpu.pipeline.pair import align_pairs
+
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 18)
+    row_fn, _ = _backends(opt)
+    fused_fn = native_driver.make_fused_backend(_params(opt), blk_l=128,
+                                                interpret=True)
+    want = align_pairs(opt, ref, fm, r1s, r2s, po=po,
+                       extend_batch_fn=row_fn)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128)
+    got = pipe.align_pairs_chunk(r1s, r2s, fused_fn)
     assert [[r.line() for r in x] for x in want] == \
         [[r.line() for r in x] for x in got]
 
