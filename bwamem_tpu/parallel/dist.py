@@ -77,6 +77,50 @@ def make_sharded_raw_t_backend(mesh: Mesh, params: ExtendParams, *,
     return raw_t
 
 
+def make_sharded_fused_backend(mesh: Mesh, params: ExtendParams, *,
+                               blk_l: int = 512, interpret: bool = False):
+    """Data-parallel FUSED whole-alignment backend (the production
+    protocol: one device round trip per chunk, in-kernel band doubling
+    and left->right h0 chaining — ops/extend_pallas._extend_kernel_fused)
+    with the lane axis sharded over the mesh.  Same contract as
+    native_driver.make_fused_backend; NativePipeline pads Bp to
+    `bp_quantum` = blk_l * n_devices."""
+    from bwamem_tpu.ops.extend_pallas import (
+        extend_batch_raw_fused,
+        params_vector,
+    )
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    prm = params_vector(params)
+
+    import jax.numpy as jnp
+
+    def local(tmax2, ql, tl, qr, tr, scal_t):
+        return extend_batch_raw_fused(
+            ql.astype(jnp.int32), tl.astype(jnp.int32),
+            qr.astype(jnp.int32), tr.astype(jnp.int32), scal_t, tmax2,
+            prm, blk_l=blk_l, interpret=interpret)
+
+    fn = jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis), P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False,  # same rationale as make_sharded_raw_t_backend
+    ))
+
+    def fused(ql, tl, qr, tr, scal_t, tmax2):
+        Bp = ql.shape[1]
+        assert Bp % (blk_l * n_dev) == 0, (Bp, blk_l, n_dev)
+        return np.asarray(fn(tmax2, ql, tl, qr, tr, scal_t))
+
+    fused.fused = True
+    fused.bp_quantum = blk_l * n_dev
+    return fused
+
+
 def shard_batch(mesh: Mesh, arrays):
     """Device-put a pytree of (B, ...) host arrays with batch-dim sharding."""
     axis = mesh.axis_names[0]

@@ -92,6 +92,17 @@ got_sam = [[r.line() for r in rr]
            for rr in pipe8.align_chunk(reads, sharded)]
 assert want_sam == got_sam, "SAM mismatch under mesh sharding"
 print("e2e sharded SAM == single-device SAM: ok")
+
+# 3) the fused production protocol through the mesh
+from bwamem_tpu.parallel.dist import make_sharded_fused_backend
+
+sharded_fused = make_sharded_fused_backend(mesh, params, blk_l=BLK,
+                                           interpret=True)
+pipe8f = native_driver.NativePipeline(opt, ref, fm, po, blk_l=BLK)
+got_fused = [[r.line() for r in rr]
+             for rr in pipe8f.align_chunk(reads, sharded_fused)]
+assert want_sam == got_fused, "SAM mismatch: sharded fused protocol"
+print("e2e sharded fused SAM == single-device SAM: ok")
 """
 
 
@@ -107,3 +118,4 @@ def test_sharded_extension_8dev_cpu_mesh():
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout + "\n" + r.stderr
     assert "e2e sharded SAM == single-device SAM: ok" in r.stdout
+    assert "e2e sharded fused SAM == single-device SAM: ok" in r.stdout
