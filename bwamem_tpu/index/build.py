@@ -118,26 +118,35 @@ def build_index(pac: np.ndarray, sa_intv: int = 8) -> FMIndex:
     l_pac = len(pac)
     text = np.concatenate([pac, revcomp_codes(pac)])
     n2 = len(text)
-    sa = suffix_array(text)
-    # full SA including the sentinel row at index 0
-    sa_full = np.concatenate([[n2], sa]).astype(np.int64)
-    del sa
-    # BWT: char preceding each suffix; sentinel (code 5) at the primary
-    # row.  Chunked so no second int64 index array coexists with the SA
-    # (at GRCh38 scale `sa_full - 1` alone is another 50 GB)
-    primary = int(np.nonzero(sa_full == 0)[0][0])
-    bwt = np.empty(n2 + 1, np.uint8)
-    CH = 1 << 26
-    for i0 in range(0, n2 + 1, CH):
-        sl = sa_full[i0:i0 + CH] - 1
-        np.maximum(sl, 0, out=sl)  # primary's placeholder
-        bwt[i0:i0 + CH] = text[sl]
-    bwt[primary] = 5
-    # sampled SA at row multiples of sa_intv; the full SA (the largest
-    # allocation, 8 bytes/row) is dead from here — at GRCh38 scale it is
-    # 50 GB and must not coexist with the Occ temporaries below
-    ssa = sa_full[::sa_intv].copy()
-    del sa_full
+    from bwamem_tpu import native
+
+    nb = native.sais_bwt_u8(text, sa_intv)
+    if nb is not None:
+        # packed 40-bit SA-IS emitting bwt/ssa directly: ~8.3 bytes/
+        # symbol peak — the path that fits a GRCh38-scale (6.2 Gsym)
+        # two-strand build on a 125 GB host
+        bwt, ssa, primary = nb
+    else:
+        sa = suffix_array(text)
+        # full SA including the sentinel row at index 0
+        sa_full = np.concatenate([[n2], sa]).astype(np.int64)
+        del sa
+        # BWT: char preceding each suffix; sentinel (code 5) at the
+        # primary row.  Chunked so no second int64 index array coexists
+        # with the SA (at scale `sa_full - 1` alone is another 50 GB)
+        primary = int(np.nonzero(sa_full == 0)[0][0])
+        bwt = np.empty(n2 + 1, np.uint8)
+        CH = 1 << 26
+        for i0 in range(0, n2 + 1, CH):
+            sl = sa_full[i0:i0 + CH] - 1
+            np.maximum(sl, 0, out=sl)  # primary's placeholder
+            bwt[i0:i0 + CH] = text[sl]
+        bwt[primary] = 5
+        # sampled SA at row multiples of sa_intv; the full SA (the
+        # largest allocation, 8 bytes/row) must not coexist with the
+        # Occ temporaries below
+        ssa = sa_full[::sa_intv].copy()
+        del sa_full
     # C array over codes 0..4 (sentinel occupies rank 0)
     counts = np.bincount(text, minlength=5)
     C = np.zeros(6, np.int64)

@@ -55,6 +55,12 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64, ctypes.c_int64]
+            lib.bwamem_sais_bwt_u8.restype = ctypes.c_int
+            lib.bwamem_sais_bwt_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
             lib.bwamem_fastq_scan.restype = ctypes.c_int64
             lib.bwamem_fastq_scan.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
@@ -92,6 +98,30 @@ def sais_u8(s: np.ndarray) -> np.ndarray | None:
         sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n, int(s.max(initial=0)) + 1)
     return sa if rc == 0 else None
+
+
+def sais_bwt_u8(s: np.ndarray, sa_intv: int):
+    """Memory-bounded BWT construction: packed 40-bit SA-IS emitting
+    (bwt, ssa, primary) directly — ~8.3 bytes/symbol peak vs ~17 for
+    the int64 SA path, which is what makes a GRCh38-scale two-strand
+    build (6.2 Gsym) fit this host.  Returns None if the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(s, np.uint8)
+    n = len(s)
+    bwt = np.empty(n + 1, np.uint8)
+    ssa = np.empty(n // sa_intv + 1, np.int64)
+    primary = ctypes.c_int64(-1)
+    rc = lib.bwamem_sais_bwt_u8(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ssa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sa_intv, ctypes.byref(primary))
+    if rc != 0:
+        return None
+    return bwt, ssa, int(primary.value)
 
 
 def fastq_scan(buf: bytes, max_rec: int = 1 << 22):

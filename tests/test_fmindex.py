@@ -44,6 +44,33 @@ def test_suffix_array_correct():
     assert list(sa) == sufs
 
 
+def test_sais_bwt_direct_matches_int64_path():
+    """The packed 40-bit direct-BWT builder (bwamem_sais_bwt_u8, the
+    GRCh38-scale memory-bounded path) == the int64-SA construction,
+    for bwt, ssa and primary, across sizes and N-bearing texts."""
+    from bwamem_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    for n, nfrac in ((1, 0.0), (37, 0.0), (1000, 0.1), (20000, 0.02)):
+        pac = rng.integers(0, 4, n).astype(np.uint8)
+        pac[rng.random(n) < nfrac] = 4
+        text = np.concatenate([pac, revcomp_codes(pac)])
+        n2 = len(text)
+        got = native.sais_bwt_u8(text, 8)
+        assert got is not None
+        bwt, ssa, primary = got
+        sa = suffix_array(text)
+        sa_full = np.concatenate([[n2], sa]).astype(np.int64)
+        want_primary = int(np.nonzero(sa_full == 0)[0][0])
+        want_bwt = text[np.maximum(sa_full - 1, 0)]
+        want_bwt[want_primary] = 5
+        assert primary == want_primary, n
+        assert np.array_equal(bwt, want_bwt), n
+        assert np.array_equal(ssa, sa_full[::8]), n
+
+
 def test_rank_matches_direct(small_index):
     fm, _ = small_index
     rng = np.random.default_rng(0)
