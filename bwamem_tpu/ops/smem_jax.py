@@ -1,22 +1,30 @@
-"""Device-side (JAX) FM-index rank/extension primitives.
+"""Device-side (JAX) FM-index SMEM search — SURVEY.md §7 step 3.
 
-The packed-rank expressions in index/occ_packed.py are written xp-
-generically; this module instantiates them under jax.numpy and jit so
-rank queries can run on-device with the index resident in HBM — the
-"FM-index in HBM, batched rank queries" building block of SURVEY.md
-§7 step 3.
+`smem1_batch_device` is a fully jitted batched `bwt_smem1`: every read
+in the batch advances through the forward/backward phase structure in
+lockstep under `lax.fori_loop`, each step doing one batched `rank4`
+row-gather + SWAR popcount against the packed-occ tables resident in
+device HBM (index/occ_packed.py expressions instantiated under
+jax.numpy).  Interval pushes, stop conditions and containment-filtered
+emission run as masked one-hot scatters over static slot axes
+(P_CAP live intervals, M_CAP emitted SMEMs per call) — the same
+algorithm as index/smem_batch.smem1_batch, whose numpy body is the
+tested host twin; outputs are bit-equal (tests/test_smem_jax.py).
 
-DECISION (round 2): production seeding stays on the HOST, in C++
-(csrc/smem.cpp), not on device.  Measured at scale (bench/
-index_scale.py): the native engine sustains tens of thousands of
-reads/s at hundred-megabase-to-gigabase genomes — an order of
-magnitude above the end-to-end pipeline rate — so seeding is provably
-not the bottleneck, while a device SMEM would serialize dependent HBM
-gathers per extension step (the classic FM-index latency chain) and
-contend with the extension kernel for the chip.  This mirrors the
-reference, whose seeding also runs host-side on CPU threads
-(SURVEY.md §0).  These jitted primitives remain as the tested
-device-resident rank path for anyone revisiting that trade-off.
+DECISION (round 2, unchanged): PRODUCTION seeding stays on the HOST in
+C++ (csrc/smem.cpp).  Measured at scale (bench/index_scale.py) the
+native engine sustains tens of thousands of reads/s at gigabase
+genomes while overlapping with device extension; a device SMEM
+serializes dependent HBM gathers per extension step (the classic
+FM-index latency chain) and contends with the extension kernel for the
+chip.  The reference's seeding also runs host-side on CPU threads
+(SURVEY.md §0).  This module is the working device-resident
+alternative for pods where host CPU, not the chip, is the scarce
+resource.
+
+Limit: positions are int32 on device (jax x64 stays off), so the
+device path covers two-strand texts < 2^31 symbols (~1 Gb genomes);
+the host paths have no such limit.
 """
 
 from __future__ import annotations
@@ -33,6 +41,7 @@ from bwamem_tpu.index.occ_packed import (
     extend_forward4 as _ef4,
     rank4 as _rank4,
 )
+from bwamem_tpu.index.smem_batch import M_CAP, P_CAP
 
 
 class DeviceOcc:
@@ -45,16 +54,6 @@ class DeviceOcc:
         self.C = jnp.asarray(po.C)
         self.primary = po.primary
         self.n_rows = po.n_rows
-
-    # duck-typed PackedOcc for the xp-generic expressions
-    def _as_po(self):
-        return self
-
-
-@functools.partial(jax.jit, static_argnums=0)
-def _rank4_dev(primary_n, occ_rows, pk_rows, va_rows, i):
-    po = _Shim(occ_rows, pk_rows, va_rows, None, primary_n[0], primary_n[1])
-    return _rank4(po, i, jnp)
 
 
 class _Shim:
@@ -69,17 +68,279 @@ class _Shim:
 
 def rank4_device(d: DeviceOcc, i):
     """Batched rank query on device; i: jnp int array, any shape."""
-    return _rank4_dev((d.primary, d.n_rows), d.occ_rows, d.pk_rows,
-                      d.va_rows, jnp.asarray(i))
+    shim = _Shim(d.occ_rows, d.pk_rows, d.va_rows, None, d.primary,
+                 d.n_rows)
+    return jax.jit(lambda ii: _rank4(shim, ii, jnp))(jnp.asarray(i))
 
 
 def extend_backward4_device(d: DeviceOcc, x0, x1, s):
     shim = _Shim(d.occ_rows, d.pk_rows, d.va_rows,
                  np.asarray(d.C), d.primary, d.n_rows)
-    return _eb4(shim, jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(s), jnp)
+    return _eb4(shim, jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(s),
+                jnp)
 
 
 def extend_forward4_device(d: DeviceOcc, x0, x1, s):
     shim = _Shim(d.occ_rows, d.pk_rows, d.va_rows,
                  np.asarray(d.C), d.primary, d.n_rows)
-    return _ef4(shim, jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(s), jnp)
+    return _ef4(shim, jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(s),
+                jnp)
+
+
+# ---------------------------------------------------------------------
+# batched bwt_smem1 on device (jitted twin of smem_batch.smem1_batch)
+# ---------------------------------------------------------------------
+
+def _smem1_kernel(occ_rows, pk_rows, va_rows, C, primary, n_rows,
+                  q, qlen, x, min_intv):
+    """Jittable body.  q (B, L) int32 codes (4 = N/pad); all position
+    arrays int32.  Returns (ret, overflow, m_qb, m_qe, m_x0, m_x1,
+    m_s, m_n) with the exact semantics of smem_batch.smem1_batch."""
+    po = _Shim(occ_rows, pk_rows, va_rows, C, primary, n_rows)
+    B, L = q.shape
+    bI = jnp.arange(B)
+    iotaP = jnp.arange(P_CAP)
+    iotaM = jnp.arange(M_CAP)
+
+    at_x = q[bI, jnp.minimum(x, L - 1)]
+    startable = (x < qlen) & (at_x < 4)
+    c0 = jnp.where(startable, jnp.clip(at_x, 0, 3), 0)
+    cx0 = jnp.where(startable, C[c0], 0)
+    cs = jnp.where(startable, C[c0 + 1] - C[c0], 0)
+    cx1 = jnp.where(startable, C[3 - c0], 0)
+    cqe = x + 1
+
+    zP = jnp.zeros((B, P_CAP), jnp.int32)
+    zB = jnp.zeros((B,), jnp.int32)
+
+    def fpush(st, mask):
+        (f_x0, f_x1, f_s, f_qe, f_n, overflow, cx0, cx1, cs, cqe) = st
+        ok = mask & (f_n < P_CAP)
+        oh = (iotaP[None, :] == f_n[:, None]) & ok[:, None]
+        f_x0 = jnp.where(oh, cx0[:, None], f_x0)
+        f_x1 = jnp.where(oh, cx1[:, None], f_x1)
+        f_s = jnp.where(oh, cs[:, None], f_s)
+        f_qe = jnp.where(oh, cqe[:, None], f_qe)
+        overflow = overflow | (mask & (f_n >= P_CAP))
+        f_n = f_n + ok.astype(jnp.int32)
+        return (f_x0, f_x1, f_s, f_qe, f_n, overflow, cx0, cx1, cs, cqe)
+
+    def fwd_body(t, c):
+        (cx0, cx1, cs, cqe, f_x0, f_x1, f_s, f_qe, f_n, active,
+         overflow) = c
+        i = x + t
+        at_end = active & (i >= qlen)
+        ch = q[bI, jnp.clip(i, 0, L - 1)]
+        amb = active & ~at_end & (ch > 3)
+        st = fpush((f_x0, f_x1, f_s, f_qe, f_n, overflow, cx0, cx1, cs,
+                    cqe), at_end | amb)
+        (f_x0, f_x1, f_s, f_qe, f_n, overflow, *_rest) = st
+        active = active & ~(at_end | amb)
+        # forward extension via the revcomp swap (smem_batch.py:99-104)
+        nx0, nx1, ns = _eb4(po, cx1, cx0, cs, jnp)
+        cc = jnp.clip(3 - ch, 0, 3)
+        ex1 = nx0[bI, cc].astype(jnp.int32)
+        ex0 = nx1[bI, cc].astype(jnp.int32)
+        es = ns[bI, cc].astype(jnp.int32)
+        changed = active & (es != cs)
+        st = fpush((f_x0, f_x1, f_s, f_qe, f_n, overflow, cx0, cx1, cs,
+                    cqe), changed)
+        (f_x0, f_x1, f_s, f_qe, f_n, overflow, *_rest) = st
+        too_small = changed & (es < min_intv)
+        active = active & ~too_small
+        upd = active  # = ext & ~too_small (smem_batch.py:109)
+        cx0 = jnp.where(upd, ex0, cx0)
+        cx1 = jnp.where(upd, ex1, cx1)
+        cs = jnp.where(upd, es, cs)
+        cqe = jnp.where(upd, i + 1, cqe)
+        return (cx0, cx1, cs, cqe, f_x0, f_x1, f_s, f_qe, f_n, active,
+                overflow)
+
+    c = (cx0, cx1, cs, cqe, zP, zP, zP, zP, zB, startable,
+         jnp.zeros((B,), bool))
+    c = jax.lax.fori_loop(1, L + 1, fwd_body, c)
+    (cx0, cx1, cs, cqe, f_x0, f_x1, f_s, f_qe, f_n, active, overflow) = c
+    st = fpush((f_x0, f_x1, f_s, f_qe, f_n, overflow, cx0, cx1, cs, cqe),
+               active)
+    (f_x0, f_x1, f_s, f_qe, f_n, overflow, *_rest) = st
+    has = startable & (f_n > 0)
+    last = jnp.maximum(f_n - 1, 0)
+    ret = jnp.where(has, f_qe[bI, last], x + 1)
+
+    # prev = reversed fcur (longest first)
+    ridx = jnp.clip(f_n[:, None] - 1 - iotaP[None, :], 0, P_CAP - 1)
+    inb = iotaP[None, :] < f_n[:, None]
+    p_x0 = jnp.where(inb, jnp.take_along_axis(f_x0, ridx, 1), 0)
+    p_x1 = jnp.where(inb, jnp.take_along_axis(f_x1, ridx, 1), 0)
+    p_s = jnp.where(inb, jnp.take_along_axis(f_s, ridx, 1), 0)
+    p_qe = jnp.where(inb, jnp.take_along_axis(f_qe, ridx, 1), 0)
+    p_n = f_n
+
+    zM = jnp.zeros((B, M_CAP), jnp.int32)
+    m_qb, m_qe, m_x0, m_x1, m_s = zM, zM, zM, zM, zM
+    m_n = zB
+    back_active = startable & (p_n > 0)
+
+    def bwd_body(t, c):
+        (p_x0, p_x1, p_s, p_qe, p_n, m_qb, m_qe, m_x0, m_x1, m_s, m_n,
+         back_active) = c
+        i = x - t
+        live = back_active & (i >= -1)
+        ch = jnp.where(i >= 0, q[bI, jnp.maximum(i, 0)], 4)
+        cvalid = live & (i >= 0) & (ch < 4)
+        nx0, nx1, ns = _eb4(po, p_x0, p_x1, p_s, jnp)   # (B, P, 4)
+        chc = jnp.clip(ch, 0, 3)
+        sel_x0 = jnp.take_along_axis(
+            nx0, chc[:, None, None], 2)[..., 0].astype(jnp.int32)
+        sel_x1 = jnp.take_along_axis(
+            nx1, chc[:, None, None], 2)[..., 0].astype(jnp.int32)
+        sel_s = jnp.take_along_axis(
+            ns, chc[:, None, None], 2)[..., 0].astype(jnp.int32)
+
+        def slot_body(j, sc):
+            (n_x0, n_x1, n_s, n_qe, n_cnt, last_s, m_qb, m_qe, m_x0,
+             m_x1, m_s, m_n) = sc
+            has_j = live & (j < p_n)
+            s_j = sel_s[bI, j]
+            stop_j = has_j & (~cvalid | (s_j < min_intv))
+            keep_j = has_j & ~stop_j
+            lastm = jnp.maximum(m_n - 1, 0)
+            emit = stop_j & (n_cnt == 0) & (
+                (m_n == 0) | (i + 1 < m_qb[bI, lastm])) & (m_n < M_CAP)
+            ohm = (iotaM[None, :] == m_n[:, None]) & emit[:, None]
+            m_qb = jnp.where(ohm, (i + 1)[:, None], m_qb)
+            m_qe = jnp.where(ohm, p_qe[bI, j][:, None], m_qe)
+            m_x0 = jnp.where(ohm, p_x0[bI, j][:, None], m_x0)
+            m_x1 = jnp.where(ohm, p_x1[bI, j][:, None], m_x1)
+            m_s = jnp.where(ohm, p_s[bI, j][:, None], m_s)
+            m_n = m_n + emit.astype(jnp.int32)
+            push = keep_j & ((n_cnt == 0) | (s_j != last_s))
+            ohp = (iotaP[None, :] == n_cnt[:, None]) & push[:, None]
+            n_x0 = jnp.where(ohp, sel_x0[bI, j][:, None], n_x0)
+            n_x1 = jnp.where(ohp, sel_x1[bI, j][:, None], n_x1)
+            n_s = jnp.where(ohp, s_j[:, None], n_s)
+            n_qe = jnp.where(ohp, p_qe[bI, j][:, None], n_qe)
+            n_cnt = n_cnt + push.astype(jnp.int32)
+            last_s = jnp.where(push, s_j, last_s)
+            return (n_x0, n_x1, n_s, n_qe, n_cnt, last_s, m_qb, m_qe,
+                    m_x0, m_x1, m_s, m_n)
+
+        sc = (zP, zP, zP, zP, zB, jnp.full((B,), -1, jnp.int32),
+              m_qb, m_qe, m_x0, m_x1, m_s, m_n)
+        sc = jax.lax.fori_loop(0, P_CAP, slot_body, sc)
+        (p_x0, p_x1, p_s, p_qe, p_n, _last_s, m_qb, m_qe, m_x0, m_x1,
+         m_s, m_n) = sc
+        back_active = back_active & (p_n > 0)
+        return (p_x0, p_x1, p_s, p_qe, p_n, m_qb, m_qe, m_x0, m_x1, m_s,
+                m_n, back_active)
+
+    c = (p_x0, p_x1, p_s, p_qe, p_n, m_qb, m_qe, m_x0, m_x1, m_s, m_n,
+         back_active)
+    c = jax.lax.fori_loop(1, L + 2, bwd_body, c)
+    (_, _, _, _, _, m_qb, m_qe, m_x0, m_x1, m_s, m_n, _) = c
+    overflow = overflow | (m_n >= M_CAP)
+    return ret, overflow, m_qb, m_qe, m_x0, m_x1, m_s, m_n
+
+
+def make_smem1_device(d: DeviceOcc):
+    """Returns a jitted smem1(q, qlen, x, min_intv) over a fixed-shape
+    int32 batch, with the occ tables captured on device."""
+    fn = functools.partial(_smem1_kernel, d.occ_rows, d.pk_rows,
+                           d.va_rows, d.C, d.primary, d.n_rows)
+    return jax.jit(fn)
+
+
+def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
+                         split_len: int, split_width: int):
+    """Batched mem_collect_intv with the SMEM search on DEVICE —
+    semantics equal to fmindex.collect_smems per read (fuzz-pinned by
+    tests/test_smem_jax.py).  Host orchestrates rounds and assembles
+    BiIntervals; pathological reads (slot overflow) fall back to the
+    scalar host search, exactly like the host batch path."""
+    from bwamem_tpu.index.fmindex import BiInterval, smem1
+
+    B = len(reads)
+    L = max((len(r) for r in reads), default=1)
+    q = np.full((B, L), 4, np.int32)
+    qlen = np.zeros(B, np.int32)
+    for b, r in enumerate(reads):
+        q[b, :len(r)] = r
+        qlen[b] = len(r)
+    dev = make_smem1_device(d)
+    qd = jnp.asarray(q)
+    qlen_d = jnp.asarray(qlen)
+
+    def run(xs, mis, mask):
+        """One device round over the full batch; masked rows are fed
+        x = qlen (non-startable) and contribute nothing."""
+        xs_eff = np.where(mask, xs, qlen).astype(np.int32)
+        out = dev(qd, qlen_d, jnp.asarray(xs_eff),
+                  jnp.asarray(mis.astype(np.int32)))
+        ret, overflow, m_qb, m_qe, m_x0, m_x1, m_s, m_n = (
+            np.asarray(o) for o in out)
+        per_read = []
+        for b in range(B):
+            if not mask[b]:
+                per_read.append([])
+                continue
+            if overflow[b]:
+                nx, mems = smem1(fm, q[b, :qlen[b]].astype(np.int64),
+                                 int(xs[b]), int(mis[b]))
+                ret[b] = nx
+                per_read.append(mems)
+                continue
+            mems = [BiInterval(x0=int(m_x0[b, k]), x1=int(m_x1[b, k]),
+                               s=int(m_s[b, k]), qb=int(m_qb[b, k]),
+                               qe=int(m_qe[b, k]))
+                    for k in range(int(m_n[b]))]
+            mems.reverse()
+            per_read.append(mems)
+        return ret, per_read
+
+    mems: list[list] = [[] for _ in range(B)]
+    x = np.zeros(B, np.int32)
+    ones = np.ones(B, np.int32)
+    while True:
+        todo = x < qlen
+        if not todo.any():
+            break
+        at = q[np.arange(B), np.minimum(x, L - 1)]
+        skip = todo & (at > 3)
+        x = np.where(skip, x + 1, x).astype(np.int32)
+        run_mask = todo & ~skip
+        if not run_mask.any():
+            continue
+        nx, got = run(x, ones, run_mask)
+        for b in np.nonzero(run_mask)[0]:
+            mems[b].extend(m for m in got[b] if m.qlen >= min_seed_len)
+            x[b] = nx[b]
+
+    # second round: re-seed long low-occ SMEMs from their middle
+    jobs = []
+    for b in range(B):
+        for p in mems[b]:
+            if p.qlen >= split_len and p.s <= split_width:
+                jobs.append((b, (p.qb + p.qe) // 2, p.s + 1))
+    pending = jobs
+    while pending:
+        xs = np.zeros(B, np.int32)
+        mis = np.ones(B, np.int32)
+        mask = np.zeros(B, bool)
+        # at most one job per read per device round (duplicate target
+        # reads spill to the next round)
+        spill = []
+        for (b, xx, mi) in pending:
+            if mask[b]:
+                spill.append((b, xx, mi))
+                continue
+            mask[b] = True
+            xs[b] = xx
+            mis[b] = mi
+        _, got = run(xs, mis, mask)
+        for b in np.nonzero(mask)[0]:
+            mems[b].extend(m for m in got[b] if m.qlen >= min_seed_len)
+        pending = spill
+
+    for b in range(B):
+        mems[b].sort(key=lambda m: (m.qb, m.qe))
+    return mems
