@@ -310,18 +310,13 @@ class Alignment:
     md: str = ""
 
 
-def reg2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
-            ar: Region) -> Alignment:
-    """mem_reg2aln: global re-alignment for CIGAR, clipping, position."""
-    a = Alignment()
-    l_query = len(read)
-    if ar.rb < 0 or ar.re < 0:
-        a.flag |= 0x4
-        return a
+def _gen_cigar_setup(opt: MemOptions, ref: Reference, read: np.ndarray,
+                     ar: Region):
+    """Segment extraction + initial band for the global realignment
+    (bwa_gen_cigar2 preamble).  Returns (qseg, rseg, w2); w2 is None
+    for the no-gap fast path.  Shared by reg2aln and the batched
+    device-CIGAR planner so their control flow cannot diverge."""
     qb, qe, rb, re = ar.qb, ar.qe, ar.rb, ar.re
-    a.mapq = approx_mapq_se(opt, ar) if ar.secondary < 0 else 0
-    if ar.secondary >= 0:
-        a.flag |= 0x100
     w2 = max(
         infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_del, opt.e_del),
         infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_ins, opt.e_ins))
@@ -335,11 +330,73 @@ def reg2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
         qseg = qseg[::-1].copy()
         rseg = rseg[::-1].copy()
     if qe - qb == re - rb and w2 == 0:
+        return qseg, rseg, None
+    return qseg, rseg, w2
+
+
+def batched_global_results(opt: MemOptions, ref: Reference, reads,
+                           regions_per_read, batch_global_fn):
+    """Plan + run ALL of a batch's reg2aln global realignments as
+    device rounds (ops/global_jax.ksw_global_batch): every region a
+    read will realign (score >= T, mapped) becomes one task; bwa's
+    band-doubling retry (mem_reg2aln's while loop) runs as compacted
+    rounds across the whole batch, exactly like the extension driver's
+    retry pass.  Returns {(read_i, region_i): (score, cigar)}."""
+    active: dict[tuple[int, int], list] = {}
+    for ri, (read, regions) in enumerate(zip(reads, regions_per_read)):
+        for ki, p in enumerate(regions):
+            if p.score < opt.T or p.rb < 0 or p.re < 0:
+                continue
+            qseg, rseg, w2 = _gen_cigar_setup(opt, ref, read, p)
+            if w2 is None:
+                continue
+            # [qseg, rseg, w2, last_sc, round_i, truesc]
+            active[(ri, ki)] = [qseg, rseg, w2, -(1 << 30), 0, p.truesc]
+    results: dict[tuple[int, int], tuple[int, list]] = {}
+    while active:
+        keys = list(active)
+        tasks = [(active[k][0], active[k][1],
+                  min(active[k][2], opt.w << 2)) for k in keys]
+        got = batch_global_fn(tasks)
+        nxt = {}
+        for key, (score, cigar) in zip(keys, got):
+            st = active[key]
+            w2c = min(st[2], opt.w << 2)
+            results[key] = (score, cigar)
+            if score == st[3] or w2c == opt.w << 2:
+                continue
+            st[3], st[2], st[4] = score, w2c << 1, st[4] + 1
+            if st[4] < 3 and score < st[5] - opt.a:
+                nxt[key] = st
+        active = nxt
+    return results
+
+
+def reg2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
+            ar: Region, global_result=None) -> Alignment:
+    """mem_reg2aln: global re-alignment for CIGAR, clipping, position.
+
+    `global_result` short-circuits the banded ksw_global retry loop
+    with a precomputed (score, cigar) — the batched device-CIGAR path
+    (batched_global_results) which replays the identical schedule."""
+    a = Alignment()
+    l_query = len(read)
+    if ar.rb < 0 or ar.re < 0:
+        a.flag |= 0x4
+        return a
+    qb, qe, rb, re = ar.qb, ar.qe, ar.rb, ar.re
+    a.mapq = approx_mapq_se(opt, ar) if ar.secondary < 0 else 0
+    if ar.secondary >= 0:
+        a.flag |= 0x100
+    qseg, rseg, w2 = _gen_cigar_setup(opt, ref, read, ar)
+    if w2 is None:
         # bwa_gen_cigar2's no-gap fast path: straight match block,
         # score summed directly from the matrix
         mat = opt.mat
         score = int(mat[rseg, qseg].sum())
         cigar = [(M_OP, qe - qb)]
+    elif global_result is not None:
+        score, cigar = global_result
     else:
         last_sc = -(1 << 30)
         i = 0
@@ -482,11 +539,17 @@ def compute_regions(opt: MemOptions, ref: Reference, fm, read: np.ndarray,
 def align_read(opt: MemOptions, ref: Reference, fm, name: str,
                read: np.ndarray, qual: str | None = None,
                extend_fn=default_extend_fn,
-               chains: list[Chain] | None = None) -> list[SamRecord]:
+               chains: list[Chain] | None = None,
+               regions: list[Region] | None = None,
+               global_results=None) -> list[SamRecord]:
     """Full single-end alignment of one read -> SAM records
-    (mem_align1 + mem_reg2sam_se)."""
-    regions = compute_regions(opt, ref, fm, read, extend_fn, chains)
-    regions = mark_primary(opt, regions)
+    (mem_align1 + mem_reg2sam_se).  `regions` (already mark_primary'd)
+    and `global_results` ({region_i: (score, cigar)}) come from the
+    batched device-CIGAR driver; both default to the local path."""
+    if regions is None:
+        regions = compute_regions(opt, ref, fm, read, extend_fn, chains)
+        regions = mark_primary(opt, regions)
+    gr = global_results or {}
 
     alns: list[Alignment] = []
     for k, p in enumerate(regions):
@@ -494,7 +557,7 @@ def align_read(opt: MemOptions, ref: Reference, fm, name: str,
             continue
         if p.secondary >= 0 and not opt.flag_a:
             continue
-        q = reg2aln(opt, ref, read, p)
+        q = reg2aln(opt, ref, read, p, global_result=gr.get(k))
         if p.secondary >= 0:
             q.sub = -1
         if alns and p.secondary < 0:  # supplementary
@@ -507,24 +570,26 @@ def align_read(opt: MemOptions, ref: Reference, fm, name: str,
                         Alignment(flag=0x4), None)]
     recs = [aln2sam(opt, ref, name, read, qual, a, alns[0]) for a in alns]
     if not opt.flag_a:
-        xa = xa_string(opt, ref, read, regions)
+        xa = xa_string(opt, ref, read, regions, global_results=gr)
         if xa:
             recs[0].tags.append(("XA", "Z", xa))
     return recs
 
 
 def xa_string(opt: MemOptions, ref: Reference, read: np.ndarray,
-              regions: list[Region], cap: int = 5) -> str:
+              regions: list[Region], cap: int = 5,
+              global_results=None) -> str:
     """bwa's XA:Z tag: alternate hits (secondary regions) of the primary,
     as chr,±pos,CIGAR,NM; emitted when -a is off (mem_aln2sam XA path).
     bwa caps alternates at opt->max_XA_hits (5)."""
-    alts = [p for p in regions
+    gr = global_results or {}
+    alts = [(k, p) for k, p in enumerate(regions)
             if p.secondary == 0 and p.score >= opt.T]
     if not alts or len(alts) > cap:
         return ""
     parts = []
-    for p in alts[:cap]:
-        q = reg2aln(opt, ref, read, p)
+    for k, p in alts[:cap]:
+        q = reg2aln(opt, ref, read, p, global_result=gr.get(k))
         if q.rid < 0:
             continue
         sign = "-" if q.is_rev else "+"

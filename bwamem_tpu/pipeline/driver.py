@@ -219,13 +219,19 @@ def table_extend_fn(local):
 
 def align_batch(opt: MemOptions, ref: Reference, fm, reads,
                 extend_batch_fn: Callable, names=None, quals=None,
-                po=None) -> list[list[SamRecord]]:
+                po=None, device_cigar: bool = False
+                ) -> list[list[SamRecord]]:
     """Align a batch of reads with device-batched extension.
 
     extend_batch_fn(query, qlen, target, tlen, aw, h0) -> ExtendOut —
     typically ops.extend_pallas.make_raw_backend(params) (or the
     extend_jax twin).  `po` (index.occ_packed.pack_occ) switches
     seeding to the native/batched path — identical output.
+
+    `device_cigar` runs the reg2aln global realignments (CIGAR
+    traceback included) as batched device rounds too
+    (ops/global_jax), so extension AND traceback leave the host;
+    output is identical either way (tests/test_global_jax.py).
     """
     names = names or [f"read{i}" for i in range(len(reads))]
     quals = quals or [None] * len(reads)
@@ -236,9 +242,27 @@ def align_batch(opt: MemOptions, ref: Reference, fm, reads,
     else:
         all_chains = [chain_read(fm, r, opt) for r in reads]
     tables = extension_tables(opt, ref, reads, all_chains, extend_batch_fn)
+    all_regions = [None] * len(reads)
+    gtabs = [None] * len(reads)
+    if device_cigar:
+        from bwamem_tpu.ops.global_jax import ksw_global_batch
+
+        for ri, (read, chains) in enumerate(zip(reads, all_chains)):
+            r = A.compute_regions(opt, ref, fm, read,
+                                  table_extend_fn(tables[ri]), chains)
+            all_regions[ri] = A.mark_primary(opt, r)
+        gall = A.batched_global_results(
+            opt, ref, reads, all_regions,
+            lambda tasks: ksw_global_batch(tasks, opt.mat, opt.o_del,
+                                           opt.e_del, opt.o_ins,
+                                           opt.e_ins))
+        gtabs = [dict() for _ in reads]
+        for (ri, ki), v in gall.items():
+            gtabs[ri][ki] = v
     out = []
     for ri, (read, chains) in enumerate(zip(reads, all_chains)):
         out.append(A.align_read(opt, ref, fm, names[ri], read, quals[ri],
                                 extend_fn=table_extend_fn(tables[ri]),
-                                chains=chains))
+                                chains=chains, regions=all_regions[ri],
+                                global_results=gtabs[ri]))
     return out
