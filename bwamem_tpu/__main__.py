@@ -145,6 +145,11 @@ def cmd_mem(args) -> int:
     if args.host == "native" and not use_native:
         sys.stderr.write("[mem] --host native unavailable; "
                          "falling back to python host\n")
+    if args.device_cigar and (use_native or mate_chunks is not None
+                              or args.backend == "scalar"):
+        sys.stderr.write("[mem] --device-cigar applies to the python "
+                         "host SE path with a device backend; "
+                         "ignored here\n")
     if mate_chunks is not None:
         if use_native:
             # full PE chunk in C++: pestat, mate rescue, pairing, sam_pe
@@ -250,7 +255,8 @@ def cmd_mem(args) -> int:
                     opt, ref, fm,
                     [r.seq.astype(np.int64) for r in chunk], backend_fn,
                     names=[r.name for r in chunk],
-                    quals=[r.qual for r in chunk], po=po)
+                    quals=[r.qual for r in chunk], po=po,
+                    device_cigar=args.device_cigar)
             for rr_ in all_recs:
                 for rec in rr_:
                     out.write(rec.line() + "\n")
@@ -304,6 +310,10 @@ def main(argv=None) -> int:
     mem.add_argument("--resume", default=None, metavar="MANIFEST.jsonl",
                      help="checkpoint manifest: completed chunks are "
                           "skipped, finished chunks appended")
+    mem.add_argument("--device-cigar", action="store_true",
+                     help="run reg2aln global realignment (CIGAR "
+                          "traceback) on device too (python host path; "
+                          "ops/global_jax)")
     mem.set_defaults(fn=cmd_mem)
 
     args = ap.parse_args(argv)
