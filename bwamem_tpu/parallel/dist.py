@@ -121,6 +121,46 @@ def make_sharded_fused_backend(mesh: Mesh, params: ExtendParams, *,
     return fused
 
 
+def make_sharded_global_batch(mesh: Mesh, *, qmax: int, tmax: int):
+    """Data-parallel device CIGAR (ops/global_jax._global_batch): the
+    batched banded global alignment + on-device traceback with the
+    task axis sharded over the mesh.  Tasks are independent (one
+    read's realignment never crosses chips), so like the extension
+    backends the only collective is the output gather.  Returns
+    fn(query, qlen, target, tlen, w, mat, pens) -> (score, steps)
+    with B a multiple of n_devices."""
+    from bwamem_tpu.ops import global_jax
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+
+    def local(query, qlen, target, tlen, w, mat, pens):
+        return global_jax._global_batch(query, qlen, target, tlen, w,
+                                        mat, pens, qmax=qmax, tmax=tmax)
+
+    fn = jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(None),
+                  P(None)),
+        # steps is (smax, B): task axis is axis 1
+        out_specs=(P(axis), P(None, axis)),
+        # the scan carry mixes invariant inits (eh_e0 = full(NEG)) with
+        # shard-varying data, which the vma checker rejects; as with the
+        # extension backends this is plain batch-dim data parallelism
+        # with no cross-shard communication, so the check adds nothing
+        check_vma=False,
+    ))
+
+    def sharded(query, qlen, target, tlen, w, mat, pens):
+        assert query.shape[0] % n_dev == 0, (query.shape, n_dev)
+        s, st = fn(query, qlen, target, tlen, w, mat, pens)
+        return np.asarray(s), np.asarray(st)
+
+    sharded.b_quantum = n_dev
+    return sharded
+
+
 def shard_batch(mesh: Mesh, arrays):
     """Device-put a pytree of (B, ...) host arrays with batch-dim sharding."""
     axis = mesh.axis_names[0]

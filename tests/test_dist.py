@@ -103,6 +103,28 @@ got_fused = [[r.line() for r in rr]
              for rr in pipe8f.align_chunk(reads, sharded_fused)]
 assert want_sam == got_fused, "SAM mismatch: sharded fused protocol"
 print("e2e sharded fused SAM == single-device SAM: ok")
+
+# 4) device CIGAR (batched global align + traceback) through the mesh
+from bwamem_tpu.ops.global_jax import _global_batch
+from bwamem_tpu.parallel.dist import make_sharded_global_batch
+
+B, gq, gt = 32, 32, 32
+qa = rng.integers(0, 4, (B, gq)).astype(np.int32)
+ta = rng.integers(0, 4, (B, gt)).astype(np.int32)
+gql = rng.integers(5, gq + 1, B).astype(np.int32)
+gtl = rng.integers(5, gt + 1, B).astype(np.int32)
+gw = rng.integers(1, 12, B).astype(np.int32)
+pens = np.array([opt.o_del, opt.e_del, opt.o_ins, opt.e_ins], np.int32)
+mat = opt.mat.astype(np.int32)
+ws, wst = _global_batch(jnp.asarray(qa), jnp.asarray(gql),
+                        jnp.asarray(ta), jnp.asarray(gtl),
+                        jnp.asarray(gw), jnp.asarray(mat),
+                        jnp.asarray(pens), qmax=gq, tmax=gt)
+gfn = make_sharded_global_batch(mesh, qmax=gq, tmax=gt)
+gs, gst = gfn(qa, gql, ta, gtl, gw, mat, pens)
+assert np.array_equal(np.asarray(ws), gs), "global score mismatch"
+assert np.array_equal(np.asarray(wst), gst), "global traceback mismatch"
+print("sharded device CIGAR == unsharded: ok")
 """
 
 
@@ -119,3 +141,4 @@ def test_sharded_extension_8dev_cpu_mesh():
     assert r.returncode == 0, r.stdout + "\n" + r.stderr
     assert "e2e sharded SAM == single-device SAM: ok" in r.stdout
     assert "e2e sharded fused SAM == single-device SAM: ok" in r.stdout
+    assert "sharded device CIGAR == unsharded: ok" in r.stdout
