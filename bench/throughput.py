@@ -78,12 +78,22 @@ def main():
         R = pac[pos[:, None] + span].astype(np.int64)
         mut = rng.random((n, rl)) < 0.01
         R[mut] = rng.integers(0, 4, int(mut.sum()))
-        R[1::2] = 3 - R[1::2, ::-1]
-        reads.extend(R)
         if args.paired:
+            # FR library (the real-world case): left end forward, right
+            # end revcomp; alternate which end is read1.  (Flipping
+            # read1's strand alone would make half the library RR-
+            # discordant and fire mate rescue on every such pair.)
             isize = rng.normal(350, 30, size=n).astype(np.int64)
             M = pac[(pos + isize - rl)[:, None] + span].astype(np.int64)
-            mates.extend(3 - M[:, ::-1])
+            mut2 = rng.random((n, rl)) < 0.01
+            M[mut2] = rng.integers(0, 4, int(mut2.sum()))
+            M = 3 - M[:, ::-1]
+            R[1::2], M[1::2] = M[1::2].copy(), R[1::2].copy()
+            reads.extend(R)
+            mates.extend(M)
+        else:
+            R[1::2] = 3 - R[1::2, ::-1]
+            reads.extend(R)
     del span
 
     from bwamem_tpu.pipeline import native_driver
