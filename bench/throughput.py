@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--phased", action="store_true",
                     help="use the 4-pass protocol instead of the fused "
                          "whole-alignment kernel")
+    ap.add_argument("--device-rescue", action="store_true",
+                    help="run mem_matesw local-SW batches on device "
+                         "(the mp_rescue_* wave protocol)")
+    ap.add_argument("--discordant", type=float, default=0.0,
+                    metavar="FRAC",
+                    help="make FRAC of simulated pairs same-strand "
+                         "(RR) so mate rescue fires on them — the "
+                         "worst-case PE stress configuration")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -88,6 +96,12 @@ def main():
             mut2 = rng.random((n, rl)) < 0.01
             M[mut2] = rng.integers(0, 4, int(mut2.sum()))
             M = 3 - M[:, ::-1]
+            if args.discordant > 0:
+                # un-revcomp a fraction of mates: both ends forward =>
+                # RR orientation, outside the trained FR window =>
+                # mem_matesw fires on every such pair
+                bad = rng.random(n) < args.discordant
+                M[bad] = 3 - M[bad][:, ::-1]
             R[1::2], M[1::2] = M[1::2].copy(), R[1::2].copy()
             reads.extend(R)
             mates.extend(M)
@@ -102,7 +116,12 @@ def main():
                   and native_driver.available())
     backend_fn = None
     raw_t_fn = None
+    rescue_fn = None
     pipes = []
+    if args.device_rescue:
+        from bwamem_tpu.ops.local_jax import make_rescue_backend
+
+        rescue_fn = make_rescue_backend()
     if args.backend != "scalar":
         import jax
 
@@ -149,7 +168,8 @@ def main():
             if args.paired:
                 return len(chunk), ex.submit(
                     pipes[ci % 2].align_pairs_chunk, chunk,
-                    mates[i:i + args.batch], raw_t_fn)
+                    mates[i:i + args.batch], raw_t_fn,
+                    rescue_fn=rescue_fn)
             return len(chunk), ex.submit(
                 pipes[ci % 2].align_chunk, chunk, raw_t_fn)
 
@@ -175,7 +195,8 @@ def main():
             if args.paired:
                 if use_native:
                     recs = pipes[0].align_pairs_chunk(
-                        chunk, mates[i:i + args.batch], raw_t_fn)
+                        chunk, mates[i:i + args.batch], raw_t_fn,
+                        rescue_fn=rescue_fn)
                 else:
                     recs = align_pairs(opt, ref, fm, chunk,
                                        mates[i:i + args.batch], po=po,

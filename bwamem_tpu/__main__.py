@@ -150,6 +150,15 @@ def cmd_mem(args) -> int:
         sys.stderr.write("[mem] --device-cigar applies to the python "
                          "host SE path with a device backend; "
                          "ignored here\n")
+    rescue_fn = None
+    if args.device_rescue:
+        if mate_chunks is None or not use_native:
+            sys.stderr.write("[mem] --device-rescue applies to the "
+                             "native PE path; ignored here\n")
+        else:
+            from bwamem_tpu.ops.local_jax import make_rescue_backend
+
+            rescue_fn = make_rescue_backend()
     if mate_chunks is not None:
         if use_native:
             # full PE chunk in C++: pestat, mate rescue, pairing, sam_pe
@@ -174,7 +183,8 @@ def cmd_mem(args) -> int:
                     [m.seq.astype(np.int64) for m in mchunk], raw_t_fn,
                     names=[r.name for r in chunk],
                     quals1=[r.qual for r in chunk],
-                    quals2=[m.qual for m in mchunk])
+                    quals2=[m.qual for m in mchunk],
+                    rescue_fn=rescue_fn)
             else:
                 recs = align_pairs(
                     opt, ref, fm,
@@ -314,6 +324,9 @@ def main(argv=None) -> int:
                      help="run reg2aln global realignment (CIGAR "
                           "traceback) on device too (python host path; "
                           "ops/global_jax)")
+    mem.add_argument("--device-rescue", action="store_true",
+                     help="run mem_matesw mate-rescue local SW batched "
+                          "on device (native PE path; ops/local_jax)")
     mem.set_defaults(fn=cmd_mem)
 
     args = ap.parse_args(argv)

@@ -250,11 +250,16 @@ class NativePipeline:
         return out
 
     def align_pairs_chunk(self, reads1, reads2, raw_t_fn, names=None,
-                          quals1=None, quals2=None,
+                          quals1=None, quals2=None, rescue_fn=None,
                           ) -> list[list[SamRecord]]:
         """Full paired-end alignment of a chunk in C++ (mem_sam_pe):
         insert-size inference over the chunk, mate rescue, pairing,
-        record emission — identical output to pair.align_pairs."""
+        record emission — identical output to pair.align_pairs.
+
+        With ``rescue_fn`` (ops/local_jax.make_rescue_backend) the
+        mem_matesw local-SW batches run ON DEVICE through the
+        mp_rescue_* wave protocol instead of host C; output is
+        byte-identical (pairs are independent within a wave)."""
         import time
 
         n = len(reads1)
@@ -266,12 +271,59 @@ class NativePipeline:
         all_quals = list(quals1) + list(quals2)
         self._extend(reads, raw_t_fn)
         t_fin = time.time()
-        nrec = self.lib.mp_finalize_pe(self.h, n, self.nthreads)
+        if rescue_fn is not None and self.opt.max_matesw > 0:
+            self.lib.mp_pe_prepare(self.h, n, self.nthreads)
+            self._device_rescue(rescue_fn)
+            nrec = self.lib.mp_finalize_pe_tail(self.h, n, self.nthreads)
+        else:
+            nrec = self.lib.mp_finalize_pe(self.h, n, self.nthreads)
         out = self._collect(nrec, n, reads, all_names, all_quals)
         self.lib.mp_chunk_end(self.h)
         if self.tracer is not None:
             self.tracer.host(0, time.time() - t_fin)
         return out
+
+    def _device_rescue(self, rescue_fn):
+        """mem_matesw wave loop: end phase e (anchor end), wave k
+        (anchor rank).  Each wave ships every pair's k-th-anchor rescue
+        windows as ONE padded device batch; bwa's sequential-anchor
+        semantics survive because the skip test for anchor k runs in
+        C++ against the regions waves 0..k-1 appended."""
+        import time
+
+        o = self.opt
+        mq, mt = ctypes.c_int64(), ctypes.c_int64()
+        for e in (0, 1):
+            waves = int(self.lib.mp_rescue_phase_begin(self.h, e))
+            for k in range(waves):
+                ntask = int(self.lib.mp_rescue_wave_build(
+                    self.h, e, k, ctypes.byref(mq), ctypes.byref(mt)))
+                if ntask == 0:
+                    continue
+                lq = _bucket(max(int(mq.value), 1))
+                lt = _bucket(max(int(mt.value), 1),
+                             (512, 1024, 2048, 4096, 8192, 16384))
+                Bp = _bucket(max(ntask, 256),
+                             (256, 512, 1024, 2048, 4096, 8192, 16384))
+                seq = np.zeros((Bp, lq), np.int8)
+                rseq = np.zeros((Bp, lt), np.int8)
+                lens = np.zeros((2, Bp), np.int32)
+                self.lib.mp_rescue_fill(
+                    self.h, seq.ctypes.data_as(_PI8), lq,
+                    rseq.ctypes.data_as(_PI8), lt,
+                    lens.ctypes.data_as(_P32), Bp)
+                t0 = time.time()
+                out = np.ascontiguousarray(np.asarray(rescue_fn(
+                    seq, rseq, lens, self.opt.mat, o.o_del, o.e_del,
+                    o.o_ins, o.e_ins)), np.int32)
+                if self.tracer is not None:
+                    self.tracer.batch(
+                        f"rescue_e{e}w{k}", ntask,
+                        int(lens[0].astype(np.int64) @
+                            lens[1].astype(np.int64)),
+                        time.time() - t0, Bp=Bp, qmax=lq, tmax=lt)
+                self.lib.mp_rescue_apply(
+                    self.h, out.ctypes.data_as(_P32), Bp)
 
     def _collect(self, nrec, n_groups, reads, names, quals):
         fields = np.zeros((max(nrec, 1), 16), np.int64)

@@ -123,6 +123,12 @@ struct PerRead {
   std::vector<RecordC> records;
 };
 
+struct PEStatC {
+  int64_t low = 0, high = 0;
+  double avg = 0.0, std = 0.0;
+  bool failed = true;
+};
+
 struct MemPipe {
   Opt opt;
   int8_t mat[25];
@@ -155,6 +161,23 @@ struct MemPipe {
   std::vector<FusedLane> fused;
   // record export offsets
   std::vector<int64_t> rec_read;  // flattened record -> read idx
+  // device-rescue wave protocol (mem_matesw batched onto the
+  // accelerator): pestat + per-pair anchor lists + the current wave's
+  // SW tasks.  Pairs are independent within a wave, so batching wave k
+  // across all pairs preserves bwa's per-pair sequential-anchor
+  // semantics exactly (each anchor's skip test sees the regions
+  // appended by waves 0..k-1).
+  PEStatC pe_stat[4];
+  int64_t pe_npairs = 0;
+  std::vector<std::vector<RegionC>> rescue_anchors;  // per pair, one end
+  struct RescueTask {
+    int64_t mate_read;  // read index whose regions grow on success
+    int64_t rb;         // window start (2-strand coords)
+    int64_t l_ms;       // mate length
+    bool is_rev;
+    std::vector<uint8_t> seq, rseq;
+  };
+  std::vector<RescueTask> rescue_tasks;
 };
 
 int64_t cal_max_gap(const Opt& o, int64_t qlen) {
@@ -819,12 +842,6 @@ constexpr double MAPPING_BOUND = 3.0;
 constexpr double MAX_STDDEV = 4.0;
 constexpr double MIN_RATIO = 0.8;
 
-struct PEStatC {
-  int64_t low = 0, high = 0;
-  double avg = 0.0, std = 0.0;
-  bool failed = true;
-};
-
 // pair.py _infer_dir (bwa mem_infer_dir)
 inline int infer_dir(int64_t l_pac, int64_t b1, int64_t b2,
                      int64_t* dist) {
@@ -968,11 +985,17 @@ extern "C" void bwamem_ksw_align(const uint8_t*, int64_t, const uint8_t*,
                                  int64_t, const int8_t*, int64_t, int64_t,
                                  int64_t, int64_t, int64_t, int64_t*);
 
-// pair.py mem_matesw: rescue the mate around `anchor`
-int mem_matesw(const MemPipe& mp, const PEStatC pes[4],
-               const RegionC& anchor, const uint8_t* mate_read,
-               int64_t l_ms, std::vector<RegionC>& mate_regs) {
-  const Opt& o = mp.opt;
+// pair.py mem_matesw, split in two so the SW itself can run either on
+// host (bwamem_ksw_align, the default) or batched on the accelerator
+// (the mp_rescue_* wave protocol): emit computes the skip test + the
+// rescue windows and materializes the oriented mate / reference-window
+// sequences; apply runs the score filter + coordinate transform on a
+// (score,qb,qe,tb,te,score2) result and appends the rescued region.
+int matesw_emit(const MemPipe& mp, const PEStatC pes[4],
+                const RegionC& anchor, const uint8_t* mate_read,
+                int64_t l_ms, const std::vector<RegionC>& mate_regs,
+                int64_t mate_ri,
+                std::vector<MemPipe::RescueTask>& out) {
   int64_t l_pac = mp.l_pac;
   bool skip[4];
   for (int r = 0; r < 4; ++r) skip[r] = pes[r].failed;
@@ -988,12 +1011,6 @@ int mem_matesw(const MemPipe& mp, const PEStatC pes[4],
     if (skip[r]) continue;
     bool is_rev = ((r >> 1) ^ (r & 1)) != 0;
     bool is_larger = !(r >> 1);
-    std::vector<uint8_t> seq(mate_read, mate_read + l_ms);
-    if (is_rev) {
-      std::reverse(seq.begin(), seq.end());
-      for (auto& c : seq)
-        if (c < 4) c = 3 - c;
-    }
     int64_t rb, re;
     if (!is_rev) {
       rb = is_larger ? anchor.rb + pes[r].low : anchor.rb - pes[r].high;
@@ -1015,34 +1032,67 @@ int mem_matesw(const MemPipe& mp, const PEStatC pes[4],
         rb = l_pac;
     }
     if (rb >= re) continue;
-    std::vector<uint8_t> rseq;
-    get_seq(mp, rb, re, rseq);
-    int64_t out6[6];
-    bwamem_ksw_align(seq.data(), l_ms, rseq.data(), (int64_t)rseq.size(),
-                     mp.mat, 5, o.o_del, o.e_del, o.o_ins, o.e_ins, out6);
-    int64_t score = out6[0], qb = out6[1], qe = out6[2], tb = out6[3],
-            te = out6[4], score2 = out6[5];
-    if (score >= o.min_seed_len * o.a && qb >= 0) {
-      RegionC b;
-      if (is_rev) {
-        b.qb = l_ms - qe;
-        b.qe = l_ms - qb;
-        b.rb = (l_pac << 1) - (rb + te);
-        b.re = (l_pac << 1) - (rb + tb);
-      } else {
-        b.qb = qb;
-        b.qe = qe;
-        b.rb = rb + tb;
-        b.re = rb + te;
-      }
-      b.score = b.truesc = score;
-      b.csub = score2;
-      b.secondary = -1;
-      b.w = o.w;
-      b.seedcov = std::min(b.re - b.rb, b.qe - b.qb) >> 1;
-      mate_regs.push_back(b);
-      ++n;
+    MemPipe::RescueTask t;
+    t.mate_read = mate_ri;
+    t.rb = rb;
+    t.l_ms = l_ms;
+    t.is_rev = is_rev;
+    t.seq.assign(mate_read, mate_read + l_ms);
+    if (is_rev) {
+      std::reverse(t.seq.begin(), t.seq.end());
+      for (auto& c : t.seq)
+        if (c < 4) c = 3 - c;
     }
+    get_seq(mp, rb, re, t.rseq);
+    out.push_back(std::move(t));
+    ++n;
+  }
+  return n;
+}
+
+bool matesw_apply(const MemPipe& mp, const MemPipe::RescueTask& t,
+                  const int64_t out6[6],
+                  std::vector<RegionC>& mate_regs) {
+  const Opt& o = mp.opt;
+  int64_t l_pac = mp.l_pac;
+  int64_t score = out6[0], qb = out6[1], qe = out6[2], tb = out6[3],
+          te = out6[4], score2 = out6[5];
+  if (score < o.min_seed_len * o.a || qb < 0) return false;
+  RegionC b;
+  if (t.is_rev) {
+    b.qb = t.l_ms - qe;
+    b.qe = t.l_ms - qb;
+    b.rb = (l_pac << 1) - (t.rb + te);
+    b.re = (l_pac << 1) - (t.rb + tb);
+  } else {
+    b.qb = qb;
+    b.qe = qe;
+    b.rb = t.rb + tb;
+    b.re = t.rb + te;
+  }
+  b.score = b.truesc = score;
+  b.csub = score2;
+  b.secondary = -1;
+  b.w = o.w;
+  b.seedcov = std::min(b.re - b.rb, b.qe - b.qb) >> 1;
+  mate_regs.push_back(b);
+  return true;
+}
+
+// host-SW composition of the two halves (the default rescue path)
+int mem_matesw(const MemPipe& mp, const PEStatC pes[4],
+               const RegionC& anchor, const uint8_t* mate_read,
+               int64_t l_ms, std::vector<RegionC>& mate_regs) {
+  const Opt& o = mp.opt;
+  std::vector<MemPipe::RescueTask> tasks;
+  matesw_emit(mp, pes, anchor, mate_read, l_ms, mate_regs, -1, tasks);
+  int n = 0;
+  for (const auto& t : tasks) {
+    int64_t out6[6];
+    bwamem_ksw_align(t.seq.data(), t.l_ms, t.rseq.data(),
+                     (int64_t)t.rseq.size(), mp.mat, 5, o.o_del, o.e_del,
+                     o.o_ins, o.e_ins, out6);
+    if (matesw_apply(mp, t, out6, mate_regs)) ++n;
   }
   return n;
 }
@@ -1734,6 +1784,138 @@ int64_t mp_finalize_pe(void* h, int64_t n_pairs, int64_t nthreads) {
     for (int t = 0; t < nt; ++t) ths.emplace_back(pworker);
     for (auto& t : ths) t.join();
   }
+  int64_t n = 0;
+  for (const auto& pr : mp.per) n += (int64_t)pr.records.size();
+  return n;
+}
+
+// ---- device-rescue wave protocol -----------------------------------
+// mp_finalize_pe split so mem_matesw's local-SW batches can run on the
+// accelerator (ops/local_jax.py): prepare (replay + pestat), then per
+// end phase e in {0,1} and wave k: build wave tasks -> device SW ->
+// apply, and finally the pairing/record tail.  Byte-identical output
+// to mp_finalize_pe because pairs are independent within a wave and
+// each anchor's skip test sees exactly the regions a sequential
+// per-pair loop would have appended.
+
+void mp_pe_prepare(void* h, int64_t n_pairs, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int nt = std::max((int)nthreads, 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t ri = next.fetch_add(1);
+      if (ri >= mp.n_reads) break;
+      replay_read(mp, ri, mp.per[ri]);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  infer_isize(mp, n_pairs, mp.pe_stat);
+  mp.pe_npairs = n_pairs;
+}
+
+// Build the per-pair anchor lists for end phase e (e = 0: read-1
+// regions anchor read-2 rescues; e = 1: vice versa, including regions
+// rescued during phase 0).  Returns the number of waves.
+int64_t mp_rescue_phase_begin(void* h, int64_t e) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  int64_t n_pairs = mp.pe_npairs;
+  mp.rescue_anchors.assign((size_t)n_pairs, {});
+  int64_t waves = 0;
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    auto& regs_i = mp.per[e == 0 ? i : n_pairs + i].regions;
+    if (regs_i.empty()) continue;
+    int64_t best = regs_i[0].score;
+    for (const auto& r : regs_i) best = std::max(best, r.score);
+    auto& anchors = mp.rescue_anchors[i];
+    for (const auto& r : regs_i)
+      if (r.score >= best - o.pen_unpaired) anchors.push_back(r);
+    if ((int64_t)anchors.size() > o.max_matesw)
+      anchors.resize((size_t)o.max_matesw);
+    waves = std::max(waves, (int64_t)anchors.size());
+  }
+  return waves;
+}
+
+int64_t mp_rescue_wave_build(void* h, int64_t e, int64_t k,
+                             int64_t* max_q, int64_t* max_t) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int64_t n_pairs = mp.pe_npairs;
+  mp.rescue_tasks.clear();
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    const auto& anchors = mp.rescue_anchors[i];
+    if (k >= (int64_t)anchors.size()) continue;
+    int64_t other = e == 0 ? n_pairs + i : i;
+    matesw_emit(mp, mp.pe_stat, anchors[(size_t)k],
+                mp.reads + other * mp.L, mp.qlen[other],
+                mp.per[other].regions, other, mp.rescue_tasks);
+  }
+  int64_t mq = 0, mt = 0;
+  for (const auto& t : mp.rescue_tasks) {
+    mq = std::max(mq, t.l_ms);
+    mt = std::max(mt, (int64_t)t.rseq.size());
+  }
+  *max_q = mq;
+  *max_t = mt;
+  return (int64_t)mp.rescue_tasks.size();
+}
+
+// seq (Bp, lq_pad) / rseq (Bp, lt_pad) row-major int8 (caller
+// zero-filled; the device masks by length); lens (2, Bp) int32 rows
+// [l_ms, l_ts].
+void mp_rescue_fill(void* h, int8_t* seq, int64_t lq_pad, int8_t* rseq,
+                    int64_t lt_pad, int32_t* lens, int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  for (size_t i = 0; i < mp.rescue_tasks.size(); ++i) {
+    const auto& t = mp.rescue_tasks[i];
+    std::memcpy(seq + (int64_t)i * lq_pad, t.seq.data(), t.seq.size());
+    std::memcpy(rseq + (int64_t)i * lt_pad, t.rseq.data(),
+                t.rseq.size());
+    lens[i] = (int32_t)t.l_ms;
+    lens[Bp + (int64_t)i] = (int32_t)t.rseq.size();
+  }
+}
+
+// out6 (6, Bp) int32: [score, qb, qe, tb, te, score2] per task lane.
+void mp_rescue_apply(void* h, const int32_t* out6, int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  for (size_t i = 0; i < mp.rescue_tasks.size(); ++i) {
+    const auto& t = mp.rescue_tasks[i];
+    int64_t o6[6];
+    for (int j = 0; j < 6; ++j) o6[j] = out6[j * Bp + (int64_t)i];
+    matesw_apply(mp, t, o6, mp.per[t.mate_read].regions);
+  }
+  mp.rescue_tasks.clear();
+}
+
+// Pairing + record emission using the stored pestat (rescue already
+// done by the wave loop — or skipped when max_matesw == 0).
+int64_t mp_finalize_pe_tail(void* h, int64_t n_pairs, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int nt = std::max((int)nthreads, 1);
+  std::atomic<int64_t> nextp(0);
+  auto pworker = [&]() {
+    for (;;) {
+      int64_t i = nextp.fetch_add(1);
+      if (i >= n_pairs) break;
+      sam_pe(mp, n_pairs, i, mp.pe_stat);
+    }
+  };
+  if (nt == 1) {
+    pworker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(pworker);
+    for (auto& t : ths) t.join();
+  }
+  mp.rescue_anchors.clear();
   int64_t n = 0;
   for (const auto& pr : mp.per) n += (int64_t)pr.records.size();
   return n;

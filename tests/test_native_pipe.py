@@ -205,6 +205,40 @@ def test_pe_full_native_no_a(world):
         [[r.line() for r in x] for x in got]
 
 
+def test_pe_device_rescue_sam_identical(world):
+    """The mem_matesw wave protocol (mp_rescue_* + the device-batched
+    local SW, ops/local_jax.make_rescue_backend) == the all-C++ rescue
+    path, byte for byte, on a rescue-heavy chunk — and the waves must
+    actually fire (non-vacuous)."""
+    from bwamem_tpu.ops.local_jax import make_rescue_backend
+
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 40)
+    # a few same-strand (discordant) mates: their proper-FR window is
+    # untrained for that pair, so rescue fires beyond the mutated/all-N
+    # mates _pe_world already plants
+    for i in range(0, 40, 7):
+        r2s[i] = revcomp_read(r2s[i])
+    row_fn, raw_t_fn = _backends(opt)
+    want = native_driver.NativePipeline(
+        opt, ref, fm, po, nthreads=2).align_pairs_chunk(r1s, r2s,
+                                                        raw_t_fn)
+    base = make_rescue_backend()
+    calls = []
+
+    def counting(*a):
+        calls.append(a[0].shape)
+        return base(*a)
+
+    got = native_driver.NativePipeline(
+        opt, ref, fm, po, nthreads=2).align_pairs_chunk(
+        r1s, r2s, raw_t_fn, rescue_fn=counting)
+    assert calls, "no rescue wave fired — vacuous comparison"
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
 def test_fused_sam_identical(world):
     """The fused one-call protocol (mp_prepare_fused + the fused Pallas
     kernel, interpret mode) == the Python oracle SAM byte for byte —
