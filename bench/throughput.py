@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--device-rescue", action="store_true",
                     help="run mem_matesw local-SW batches on device "
                          "(the mp_rescue_* wave protocol)")
+    ap.add_argument("--device-cigar", action="store_true",
+                    help="run reg2aln banded globals + traceback on "
+                         "device (the mp_cigar_* round protocol; SE)")
     ap.add_argument("--discordant", type=float, default=0.0,
                     metavar="FRAC",
                     help="make FRAC of simulated pairs same-strand "
@@ -122,6 +125,11 @@ def main():
         from bwamem_tpu.ops.local_jax import make_rescue_backend
 
         rescue_fn = make_rescue_backend()
+    cigar_fn = None
+    if args.device_cigar and not args.paired:
+        from bwamem_tpu.ops.global_jax import make_cigar_backend
+
+        cigar_fn = make_cigar_backend()
     if args.backend != "scalar":
         import jax
 
@@ -171,7 +179,8 @@ def main():
                     mates[i:i + args.batch], raw_t_fn,
                     rescue_fn=rescue_fn)
             return len(chunk), ex.submit(
-                pipes[ci % 2].align_chunk, chunk, raw_t_fn)
+                pipes[ci % 2].align_chunk, chunk, raw_t_fn,
+                cigar_fn=cigar_fn)
 
         with ThreadPoolExecutor(max_workers=2) as ex:
             futs: deque = deque()
@@ -202,7 +211,8 @@ def main():
                                        mates[i:i + args.batch], po=po,
                                        extend_batch_fn=backend_fn)
             elif use_native:
-                recs = pipes[0].align_chunk(chunk, raw_t_fn)
+                recs = pipes[0].align_chunk(chunk, raw_t_fn,
+                                            cigar_fn=cigar_fn)
             elif backend_fn is None:
                 from bwamem_tpu.pipeline.align import align_read
                 recs = [align_read(opt, ref, fm, f"r{i+j}", r)

@@ -145,11 +145,16 @@ def cmd_mem(args) -> int:
     if args.host == "native" and not use_native:
         sys.stderr.write("[mem] --host native unavailable; "
                          "falling back to python host\n")
-    if args.device_cigar and (use_native or mate_chunks is not None
+    if args.device_cigar and (mate_chunks is not None
                               or args.backend == "scalar"):
-        sys.stderr.write("[mem] --device-cigar applies to the python "
-                         "host SE path with a device backend; "
-                         "ignored here\n")
+        sys.stderr.write("[mem] --device-cigar applies to the SE paths "
+                         "with a device backend; ignored here\n")
+    cigar_fn = None
+    if (args.device_cigar and use_native and mate_chunks is None
+            and args.backend != "scalar"):
+        from bwamem_tpu.ops.global_jax import make_cigar_backend
+
+        cigar_fn = make_cigar_backend()
     rescue_fn = None
     if args.device_rescue:
         if mate_chunks is None or not use_native:
@@ -217,7 +222,7 @@ def cmd_mem(args) -> int:
             return pipes[ci % 2].align_chunk(
                 [r.seq.astype(np.int64) for r in chunk], raw_t_fn,
                 names=[r.name for r in chunk],
-                quals=[r.qual for r in chunk])
+                quals=[r.qual for r in chunk], cigar_fn=cigar_fn)
 
         def flush_one(futs):
             nonlocal n_rec
@@ -322,8 +327,8 @@ def main(argv=None) -> int:
                           "skipped, finished chunks appended")
     mem.add_argument("--device-cigar", action="store_true",
                      help="run reg2aln global realignment (CIGAR "
-                          "traceback) on device too (python host path; "
-                          "ops/global_jax)")
+                          "traceback) on device too (SE paths, python "
+                          "or native host; ops/global_jax)")
     mem.add_argument("--device-rescue", action="store_true",
                      help="run mem_matesw mate-rescue local SW batched "
                           "on device (native PE path; ops/local_jax)")

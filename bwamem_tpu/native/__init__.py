@@ -285,6 +285,18 @@ def _bind_mempipe(lib):
     lib.mp_rescue_apply.argtypes = [ctypes.c_void_p, p32, i64]
     lib.mp_finalize_pe_tail.restype = i64
     lib.mp_finalize_pe_tail.argtypes = [ctypes.c_void_p, i64, i64]
+    # device-CIGAR round protocol (reg2aln globals batched on-device)
+    lib.mp_cigar_begin.restype = i64
+    lib.mp_cigar_begin.argtypes = [ctypes.c_void_p, i64]
+    lib.mp_cigar_dims.restype = None
+    lib.mp_cigar_dims.argtypes = [ctypes.c_void_p, p64, p64]
+    lib.mp_cigar_fill.restype = None
+    lib.mp_cigar_fill.argtypes = [ctypes.c_void_p, pi8, i64, pi8, i64,
+                                  p32, i64]
+    lib.mp_cigar_apply.restype = i64
+    lib.mp_cigar_apply.argtypes = [ctypes.c_void_p, p32, p32, p32, i64]
+    lib.mp_finalize_records.restype = i64
+    lib.mp_finalize_records.argtypes = [ctypes.c_void_p, i64]
     lib.mp_blob_size.restype = i64
     lib.mp_blob_size.argtypes = [ctypes.c_void_p]
     lib.mp_get_records.restype = None

@@ -180,6 +180,36 @@ def rle_cigars(steps: np.ndarray) -> list[list[tuple[int, int]]]:
     return out
 
 
+def make_cigar_backend():
+    """Raw-array device backend for NativePipeline's mp_cigar_* round
+    protocol (csrc/mempipe.cpp): one round = padded int8 (Bp, lq)
+    query segments, (Bp, lt) reference segments and (3, Bp) int32
+    [qlen, tlen, band] rows in; (scores (Bp,) int32, counts (Bp,)
+    int32, flat (op, len) int32 pairs task-major) out.  Fill +
+    traceback run in ONE jit call; only the run-length encoding is
+    host numpy.  Scoring params are traced arguments — zero recompiles
+    across MemOptions."""
+
+    def fn(q_i8, t_i8, meta, mat, o_del, e_del, o_ins, e_ins):
+        B, qmax = q_i8.shape
+        tmax = t_i8.shape[1]
+        score, steps = _global_batch(
+            jnp.asarray(q_i8), jnp.asarray(meta[0]), jnp.asarray(t_i8),
+            jnp.asarray(meta[1]), jnp.asarray(meta[2]),
+            jnp.asarray(np.asarray(mat, np.int32)),
+            jnp.asarray(np.array([o_del, e_del, o_ins, e_ins],
+                                 np.int32)),
+            qmax=qmax, tmax=tmax)
+        cigars = rle_cigars(np.asarray(steps))
+        ncig = np.array([len(c) for c in cigars], np.int32)
+        flat = np.fromiter(
+            (x for c in cigars for p in c for x in p), np.int32,
+            count=2 * int(ncig.sum()))
+        return np.asarray(score, np.int32), ncig, flat
+
+    return fn
+
+
 def _pow2(n: int, lo: int) -> int:
     v = lo
     while v < n:

@@ -233,21 +233,73 @@ class NativePipeline:
     # -- single-end -------------------------------------------------------
 
     def align_chunk(self, reads, raw_t_fn, names=None, quals=None,
-                    ) -> list[list[SamRecord]]:
+                    cigar_fn=None) -> list[list[SamRecord]]:
         """Full single-end alignment of a chunk; returns per-read SAM
-        records identical to driver.align_batch."""
+        records identical to driver.align_batch.
+
+        With ``cigar_fn`` (ops/global_jax.make_cigar_backend) the
+        reg2aln banded-global realignments run ON DEVICE through the
+        mp_cigar_* round protocol (band-doubling retries compacted
+        across the chunk) instead of host C; output is byte-identical."""
         import time
 
         names = names or [f"read{i}" for i in range(len(reads))]
         quals = quals or [None] * len(reads)
         self._extend(reads, raw_t_fn)
         t_fin = time.time()
-        nrec = self.lib.mp_finalize(self.h, self.nthreads)
+        if cigar_fn is not None:
+            n_active = int(self.lib.mp_cigar_begin(self.h, self.nthreads))
+            self._device_cigar_rounds(n_active, cigar_fn)
+            nrec = self.lib.mp_finalize_records(self.h, self.nthreads)
+        else:
+            nrec = self.lib.mp_finalize(self.h, self.nthreads)
         out = self._collect(nrec, len(reads), reads, names, quals)
         self.lib.mp_chunk_end(self.h)
         if self.tracer is not None:
             self.tracer.host(0, time.time() - t_fin)
         return out
+
+    def _device_cigar_rounds(self, n_active, cigar_fn):
+        """reg2aln band-doubling retry as compacted device rounds: the
+        whole chunk's global fills + tracebacks per round in one jit
+        call (align.py batched_global_results, here over the C++ task
+        list)."""
+        import time
+
+        o = self.opt
+        mq, mt = ctypes.c_int64(), ctypes.c_int64()
+        rnd = 0
+        while n_active:
+            self.lib.mp_cigar_dims(self.h, ctypes.byref(mq),
+                                   ctypes.byref(mt))
+            lq = _bucket(max(int(mq.value), 1))
+            lt = _bucket(max(int(mt.value), 1))
+            Bp = _bucket(max(n_active, 256),
+                         (256, 512, 1024, 2048, 4096, 8192, 16384))
+            q = np.zeros((Bp, lq), np.int8)
+            t = np.zeros((Bp, lt), np.int8)
+            meta = np.zeros((3, Bp), np.int32)
+            self.lib.mp_cigar_fill(
+                self.h, q.ctypes.data_as(_PI8), lq,
+                t.ctypes.data_as(_PI8), lt,
+                meta.ctypes.data_as(_P32), Bp)
+            t0 = time.time()
+            scores, ncig, flat = cigar_fn(q, t, meta, o.mat, o.o_del,
+                                          o.e_del, o.o_ins, o.e_ins)
+            scores = np.ascontiguousarray(scores, np.int32)
+            ncig = np.ascontiguousarray(ncig, np.int32)
+            flat = np.ascontiguousarray(flat, np.int32)
+            if self.tracer is not None:
+                self.tracer.batch(
+                    f"cigar_r{rnd}", n_active,
+                    int(meta[0].astype(np.int64) @
+                        meta[1].astype(np.int64)),
+                    time.time() - t0, Bp=Bp, qmax=lq, tmax=lt)
+            n_active = int(self.lib.mp_cigar_apply(
+                self.h, scores.ctypes.data_as(_P32),
+                ncig.ctypes.data_as(_P32),
+                flat.ctypes.data_as(_P32), Bp))
+            rnd += 1
 
     def align_pairs_chunk(self, reads1, reads2, raw_t_fn, names=None,
                           quals1=None, quals2=None, rescue_fn=None,

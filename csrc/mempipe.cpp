@@ -34,6 +34,7 @@
 #include <set>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 extern "C" int64_t bwamem_collect_seeds(
@@ -129,6 +130,13 @@ struct PEStatC {
   bool failed = true;
 };
 
+// one reg2aln banded-global result (score + CIGAR), as produced by the
+// device-CIGAR rounds (ops/global_jax) or the host retry loop
+struct GlobalResC {
+  int64_t score = 0;
+  std::vector<std::pair<int32_t, int32_t>> cigar;
+};
+
 struct MemPipe {
   Opt opt;
   int8_t mat[25];
@@ -178,6 +186,17 @@ struct MemPipe {
     std::vector<uint8_t> seq, rseq;
   };
   std::vector<RescueTask> rescue_tasks;
+  // device-CIGAR round protocol (reg2aln's banded global realignments
+  // batched onto the accelerator, SE path): active retry-loop state
+  // per (read, region) plus finished results keyed ri * cig_stride + ki
+  struct CigTask {
+    int64_t ri, ki;
+    std::vector<uint8_t> qseg, rseg;
+    int64_t w2, last_sc, round, truesc;
+  };
+  std::vector<CigTask> cig_tasks;
+  std::unordered_map<int64_t, GlobalResC> cig_results;
+  int64_t cig_stride = 0;
 };
 
 int64_t cal_max_gap(const Opt& o, int64_t qlen) {
@@ -644,10 +663,37 @@ void cigar_to_string(const std::vector<std::pair<int32_t, int32_t>>& cig,
   }
 }
 
-// align.py reg2aln (single-end; mate handling stays in Python for PE)
-RecordC reg2aln(const MemPipe& mp, int64_t ri, const RegionC& ar) {
+// mem_reg2aln's segment + band-width setup (align.py _gen_cigar_setup),
+// shared by the host reg2aln path and the device-CIGAR task collector.
+// Returns false for the no-gap fast path (equal spans, w2 == 0).
+bool gen_cigar_setup(const MemPipe& mp, int64_t ri, const RegionC& ar,
+                     std::vector<uint8_t>& qseg,
+                     std::vector<uint8_t>& rseg, int64_t* w2_out) {
   const Opt& o = mp.opt;
   const uint8_t* read = mp.reads + ri * mp.L;
+  int64_t qb = ar.qb, qe = ar.qe, rb = ar.rb, re = ar.re;
+  int64_t w2 =
+      std::max(infer_bw(qe - qb, re - rb, ar.truesc, o.a, o.o_del, o.e_del),
+               infer_bw(qe - qb, re - rb, ar.truesc, o.a, o.o_ins, o.e_ins));
+  if (w2 > o.w) w2 = std::min(w2, ar.w);
+  qseg.assign(read + qb, read + qe);
+  rseg.clear();
+  get_seq(mp, rb, re, rseg);
+  if (rb >= mp.l_pac) {
+    std::reverse(qseg.begin(), qseg.end());
+    std::reverse(rseg.begin(), rseg.end());
+  }
+  *w2_out = w2;
+  return !(qe - qb == re - rb && w2 == 0);
+}
+
+// align.py reg2aln (single-end; mate handling stays in Python for PE).
+// `pre` short-circuits the banded-global retry loop with a result the
+// mp_cigar_* device rounds computed (which replay the identical
+// band-doubling schedule) — align.py reg2aln's global_result.
+RecordC reg2aln(const MemPipe& mp, int64_t ri, const RegionC& ar,
+                const GlobalResC* pre = nullptr) {
+  const Opt& o = mp.opt;
   int64_t l_query = mp.qlen[ri];
   RecordC a;
   if (ar.rb < 0 || ar.re < 0) {
@@ -657,24 +703,19 @@ RecordC reg2aln(const MemPipe& mp, int64_t ri, const RegionC& ar) {
   int64_t qb = ar.qb, qe = ar.qe, rb = ar.rb, re = ar.re;
   a.mapq = ar.secondary < 0 ? approx_mapq_se(o, ar) : 0;
   if (ar.secondary >= 0) a.flag |= 0x100;
-  int64_t w2 =
-      std::max(infer_bw(qe - qb, re - rb, ar.truesc, o.a, o.o_del, o.e_del),
-               infer_bw(qe - qb, re - rb, ar.truesc, o.a, o.o_ins, o.e_ins));
-  if (w2 > o.w) w2 = std::min(w2, ar.w);
-  std::vector<uint8_t> qseg(read + qb, read + qe);
-  std::vector<uint8_t> rseg;
-  get_seq(mp, rb, re, rseg);
-  if (rb >= mp.l_pac) {
-    std::reverse(qseg.begin(), qseg.end());
-    std::reverse(rseg.begin(), rseg.end());
-  }
+  std::vector<uint8_t> qseg, rseg;
+  int64_t w2;
+  bool need_global = gen_cigar_setup(mp, ri, ar, qseg, rseg, &w2);
   std::vector<std::pair<int32_t, int32_t>> cigar;
   int64_t score;
-  if (qe - qb == re - rb && w2 == 0) {
+  if (!need_global) {
     score = 0;
     for (size_t i = 0; i < qseg.size(); ++i)
       score += mp.mat[rseg[i] * 5 + qseg[i]];
     cigar.push_back({0, (int32_t)(qe - qb)});
+  } else if (pre) {
+    score = pre->score;
+    cigar = pre->cigar;
   } else {
     int64_t last_sc = -((int64_t)1 << 30);
     int64_t i = 0;
@@ -763,17 +804,28 @@ RecordC reg2aln(const MemPipe& mp, int64_t ri, const RegionC& ar) {
   return a;
 }
 
+// lookup helper for the device-CIGAR result table (null when the
+// host path computed no device rounds or this region wasn't a task)
+inline const GlobalResC* cig_lookup(const MemPipe& mp, int64_t ri,
+                                    int64_t ki) {
+  if (mp.cig_results.empty()) return nullptr;
+  auto it = mp.cig_results.find(ri * mp.cig_stride + ki);
+  return it == mp.cig_results.end() ? nullptr : &it->second;
+}
+
 // align.py xa_string
 void xa_string(const MemPipe& mp, int64_t ri,
                const std::vector<RegionC>& regions, std::string& out) {
   out.clear();
-  std::vector<const RegionC*> alts;
-  for (const auto& p : regions)
-    if (p.secondary == 0 && p.score >= mp.opt.T) alts.push_back(&p);
+  std::vector<int64_t> alts;
+  for (size_t k = 0; k < regions.size(); ++k)
+    if (regions[k].secondary == 0 && regions[k].score >= mp.opt.T)
+      alts.push_back((int64_t)k);
   if (alts.empty() || (int64_t)alts.size() > mp.opt.max_xa_hits) return;
   char buf[64];
-  for (const auto* p : alts) {
-    RecordC q = reg2aln(mp, ri, *p);
+  for (int64_t k : alts) {
+    const RegionC* p = &regions[k];
+    RecordC q = reg2aln(mp, ri, *p, cig_lookup(mp, ri, k));
     if (q.rid < 0) continue;
     out += mp.ctg_name[q.rid];
     int n = snprintf(buf, sizeof buf, ",%c%lld,", q.is_rev ? '-' : '+',
@@ -785,16 +837,16 @@ void xa_string(const MemPipe& mp, int64_t ri,
   }
 }
 
-// align.py align_read record loop + aln2sam flag/tag logic (SE)
-void finalize_read(const MemPipe& mp, int64_t ri, PerRead& pr) {
+// align.py align_read record loop + aln2sam flag/tag logic (SE);
+// records half — regions must already be replayed + primary-marked
+void finalize_records(const MemPipe& mp, int64_t ri, PerRead& pr) {
   const Opt& o = mp.opt;
-  replay_read(mp, ri, pr);
-  mark_primary(o, pr.regions);
   std::vector<RecordC> alns;
-  for (const auto& p : pr.regions) {
+  for (size_t ki = 0; ki < pr.regions.size(); ++ki) {
+    const RegionC& p = pr.regions[ki];
     if (p.score < o.T) continue;
     if (p.secondary >= 0 && !o.flag_a) continue;
-    RecordC q = reg2aln(mp, ri, p);
+    RecordC q = reg2aln(mp, ri, p, cig_lookup(mp, ri, (int64_t)ki));
     if (p.secondary >= 0) q.sub = -1;
     if (!alns.empty() && p.secondary < 0)
       q.flag |= o.flag_M ? 0x100 : 0x800;
@@ -831,6 +883,12 @@ void finalize_read(const MemPipe& mp, int64_t ri, PerRead& pr) {
     xa_string(mp, ri, pr.regions, xa);
     if (!xa.empty()) pr.records[0].xa = std::move(xa);
   }
+}
+
+void finalize_read(const MemPipe& mp, int64_t ri, PerRead& pr) {
+  replay_read(mp, ri, pr);
+  mark_primary(mp.opt, pr.regions);
+  finalize_records(mp, ri, pr);
 }
 
 // ---- paired-end machinery (pipeline/pair.py port) ----
@@ -1921,6 +1979,166 @@ int64_t mp_finalize_pe_tail(void* h, int64_t n_pairs, int64_t nthreads) {
   return n;
 }
 
+// ---- device-CIGAR round protocol (SE) -------------------------------
+// mp_finalize split so reg2aln's banded global realignments run as
+// batched device rounds (ops/global_jax.py): begin replays +
+// primary-marks every read and collects retry-loop state for each
+// region that needs a global fill; then rounds of fill -> device ->
+// apply run bwa's band-doubling retry compacted across the whole
+// chunk (align.py batched_global_results replays the identical
+// schedule); mp_finalize_records emits records consulting the result
+// table.  Output byte-identical to mp_finalize.
+
+int64_t mp_cigar_begin(void* h, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  int nt = std::max((int)nthreads, 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t ri = next.fetch_add(1);
+      if (ri >= mp.n_reads) break;
+      replay_read(mp, ri, mp.per[ri]);
+      mark_primary(o, mp.per[ri].regions);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  mp.cig_tasks.clear();
+  mp.cig_results.clear();
+  int64_t stride = 1;
+  for (const auto& pr : mp.per)
+    stride = std::max(stride, (int64_t)pr.regions.size() + 1);
+  mp.cig_stride = stride;
+  for (int64_t ri = 0; ri < mp.n_reads; ++ri) {
+    const auto& regs = mp.per[ri].regions;
+    // regions whose reg2aln will actually run: record emission
+    // (primary/supplementary, or everything under -a) plus XA
+    // alternates (secondary == 0, within the max_xa_hits gate)
+    int64_t n_alts = 0;
+    if (!o.flag_a)
+      for (const auto& p : regs)
+        if (p.secondary == 0 && p.score >= o.T) ++n_alts;
+    bool xa_on = !o.flag_a && n_alts > 0 && n_alts <= o.max_xa_hits;
+    for (size_t ki = 0; ki < regs.size(); ++ki) {
+      const RegionC& p = regs[ki];
+      if (p.score < o.T || p.rb < 0 || p.re < 0) continue;
+      bool rec = p.secondary < 0 || o.flag_a;
+      bool xa = xa_on && p.secondary == 0;
+      if (!rec && !xa) continue;
+      MemPipe::CigTask t;
+      t.ri = ri;
+      t.ki = (int64_t)ki;
+      int64_t w2;
+      if (!gen_cigar_setup(mp, ri, p, t.qseg, t.rseg, &w2))
+        continue;  // no-gap fast path: host computes inline
+      if (t.qseg.empty() || t.rseg.empty())
+        continue;  // pure-indel host fast paths (no SW)
+      t.w2 = w2;
+      t.last_sc = -((int64_t)1 << 30);
+      t.round = 0;
+      t.truesc = p.truesc;
+      mp.cig_tasks.push_back(std::move(t));
+    }
+  }
+  return (int64_t)mp.cig_tasks.size();
+}
+
+void mp_cigar_dims(void* h, int64_t* max_q, int64_t* max_t) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int64_t mq = 0, mt = 0;
+  for (const auto& t : mp.cig_tasks) {
+    mq = std::max(mq, (int64_t)t.qseg.size());
+    mt = std::max(mt, (int64_t)t.rseg.size());
+  }
+  *max_q = mq;
+  *max_t = mt;
+}
+
+// q (Bp, lq) / t (Bp, lt) row-major int8 (caller zero-filled); meta
+// (3, Bp) int32 rows [qlen, tlen, w(this round, capped)].
+void mp_cigar_fill(void* h, int8_t* q, int64_t lq, int8_t* t, int64_t lt,
+                   int32_t* meta, int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  for (size_t i = 0; i < mp.cig_tasks.size(); ++i) {
+    const auto& ct = mp.cig_tasks[i];
+    std::memcpy(q + (int64_t)i * lq, ct.qseg.data(), ct.qseg.size());
+    std::memcpy(t + (int64_t)i * lt, ct.rseg.data(), ct.rseg.size());
+    meta[i] = (int32_t)ct.qseg.size();
+    meta[Bp + (int64_t)i] = (int32_t)ct.rseg.size();
+    meta[2 * Bp + (int64_t)i] = (int32_t)std::min(ct.w2, o.w << 2);
+  }
+}
+
+// scores (Bp,) int32; ncig (Bp,) int32; flat int32 (op, len) pairs
+// task-major.  Returns the number of still-active tasks (next round).
+int64_t mp_cigar_apply(void* h, const int32_t* scores,
+                       const int32_t* ncig, const int32_t* flat,
+                       int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  std::vector<MemPipe::CigTask> nxt;
+  int64_t off = 0;
+  for (size_t i = 0; i < mp.cig_tasks.size(); ++i) {
+    MemPipe::CigTask& t = mp.cig_tasks[i];
+    int64_t score = scores[i];
+    GlobalResC res;
+    res.score = score;
+    res.cigar.reserve((size_t)ncig[i]);
+    for (int32_t c = 0; c < ncig[i]; ++c)
+      res.cigar.push_back({flat[off + 2 * c], flat[off + 2 * c + 1]});
+    off += 2 * ncig[i];
+    mp.cig_results[t.ri * mp.cig_stride + t.ki] = std::move(res);
+    int64_t w2c = std::min(t.w2, o.w << 2);
+    if (score == t.last_sc || w2c == (o.w << 2)) continue;
+    t.last_sc = score;
+    t.w2 = w2c << 1;
+    t.round += 1;
+    if (t.round < 3 && score < t.truesc - o.a)
+      nxt.push_back(std::move(t));
+  }
+  mp.cig_tasks = std::move(nxt);
+  return (int64_t)mp.cig_tasks.size();
+}
+
+// Record emission consulting the device-CIGAR result table; the
+// replay/mark_primary already ran in mp_cigar_begin.
+int64_t mp_finalize_records(void* h, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int nt = std::max((int)nthreads, 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t ri = next.fetch_add(1);
+      if (ri >= mp.n_reads) break;
+      finalize_records(mp, ri, mp.per[ri]);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  mp.cig_tasks.clear();
+  mp.cig_results.clear();
+  int64_t n = 0;
+  mp.rec_read.clear();
+  for (int64_t ri = 0; ri < mp.n_reads; ++ri) {
+    n += (int64_t)mp.per[ri].records.size();
+    for (size_t k = 0; k < mp.per[ri].records.size(); ++k)
+      mp.rec_read.push_back(ri);
+  }
+  return n;
+}
+
 // fields: (n_records, 16) int64 rows
 // [src_read, flag, rid, pos, mapq, nm, score(AS), sub(XS; -1 = absent),
 //  is_rev, cigar_len, md_len, xa_len, mate_rid(-9 = SE record),
@@ -2014,6 +2232,10 @@ void mp_chunk_end(void* h) {
   mp.qlen.clear();
   mp.cur.clear();
   mp.rec_read.clear();
+  mp.rescue_tasks.clear();
+  mp.rescue_anchors.clear();
+  mp.cig_tasks.clear();
+  mp.cig_results.clear();
   mp.reads = nullptr;
   mp.n_reads = 0;
 }
