@@ -46,7 +46,7 @@ def main():
                          "(the mp_rescue_* wave protocol)")
     ap.add_argument("--device-cigar", action="store_true",
                     help="run reg2aln banded globals + traceback on "
-                         "device (the mp_cigar_* round protocol; SE)")
+                         "device (the mp_cigar_* round protocol)")
     ap.add_argument("--discordant", type=float, default=0.0,
                     metavar="FRAC",
                     help="make FRAC of simulated pairs same-strand "
@@ -126,7 +126,7 @@ def main():
 
         rescue_fn = make_rescue_backend()
     cigar_fn = None
-    if args.device_cigar and not args.paired:
+    if args.device_cigar:
         from bwamem_tpu.ops.global_jax import make_cigar_backend
 
         cigar_fn = make_cigar_backend()
@@ -177,7 +177,7 @@ def main():
                 return len(chunk), ex.submit(
                     pipes[ci % 2].align_pairs_chunk, chunk,
                     mates[i:i + args.batch], raw_t_fn,
-                    rescue_fn=rescue_fn)
+                    rescue_fn=rescue_fn, cigar_fn=cigar_fn)
             return len(chunk), ex.submit(
                 pipes[ci % 2].align_chunk, chunk, raw_t_fn,
                 cigar_fn=cigar_fn)
@@ -205,7 +205,7 @@ def main():
                 if use_native:
                     recs = pipes[0].align_pairs_chunk(
                         chunk, mates[i:i + args.batch], raw_t_fn,
-                        rescue_fn=rescue_fn)
+                        rescue_fn=rescue_fn, cigar_fn=cigar_fn)
                 else:
                     recs = align_pairs(opt, ref, fm, chunk,
                                        mates[i:i + args.batch], po=po,

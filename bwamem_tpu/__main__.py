@@ -145,13 +145,15 @@ def cmd_mem(args) -> int:
     if args.host == "native" and not use_native:
         sys.stderr.write("[mem] --host native unavailable; "
                          "falling back to python host\n")
-    if args.device_cigar and (mate_chunks is not None
-                              or args.backend == "scalar"):
-        sys.stderr.write("[mem] --device-cigar applies to the SE paths "
-                         "with a device backend; ignored here\n")
+    if args.device_cigar and args.backend != "scalar" and (
+            mate_chunks is not None and not use_native):
+        sys.stderr.write("[mem] --device-cigar for PE needs the native "
+                         "host; ignored here\n")
+    if args.device_cigar and args.backend == "scalar":
+        sys.stderr.write("[mem] --device-cigar needs a device backend; "
+                         "ignored here\n")
     cigar_fn = None
-    if (args.device_cigar and use_native and mate_chunks is None
-            and args.backend != "scalar"):
+    if (args.device_cigar and use_native and args.backend != "scalar"):
         from bwamem_tpu.ops.global_jax import make_cigar_backend
 
         cigar_fn = make_cigar_backend()
@@ -189,7 +191,7 @@ def cmd_mem(args) -> int:
                     names=[r.name for r in chunk],
                     quals1=[r.qual for r in chunk],
                     quals2=[m.qual for m in mchunk],
-                    rescue_fn=rescue_fn)
+                    rescue_fn=rescue_fn, cigar_fn=cigar_fn)
             else:
                 recs = align_pairs(
                     opt, ref, fm,

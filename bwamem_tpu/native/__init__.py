@@ -297,6 +297,10 @@ def _bind_mempipe(lib):
     lib.mp_cigar_apply.argtypes = [ctypes.c_void_p, p32, p32, p32, i64]
     lib.mp_finalize_records.restype = i64
     lib.mp_finalize_records.argtypes = [ctypes.c_void_p, i64]
+    lib.mp_cigar_collect_pe.restype = i64
+    lib.mp_cigar_collect_pe.argtypes = [ctypes.c_void_p]
+    lib.mp_rescue_host.restype = None
+    lib.mp_rescue_host.argtypes = [ctypes.c_void_p, i64, i64]
     lib.mp_blob_size.restype = i64
     lib.mp_blob_size.argtypes = [ctypes.c_void_p]
     lib.mp_get_records.restype = None

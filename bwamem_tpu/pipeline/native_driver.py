@@ -303,7 +303,7 @@ class NativePipeline:
 
     def align_pairs_chunk(self, reads1, reads2, raw_t_fn, names=None,
                           quals1=None, quals2=None, rescue_fn=None,
-                          ) -> list[list[SamRecord]]:
+                          cigar_fn=None) -> list[list[SamRecord]]:
         """Full paired-end alignment of a chunk in C++ (mem_sam_pe):
         insert-size inference over the chunk, mate rescue, pairing,
         record emission — identical output to pair.align_pairs.
@@ -311,7 +311,11 @@ class NativePipeline:
         With ``rescue_fn`` (ops/local_jax.make_rescue_backend) the
         mem_matesw local-SW batches run ON DEVICE through the
         mp_rescue_* wave protocol instead of host C; output is
-        byte-identical (pairs are independent within a wave)."""
+        byte-identical (pairs are independent within a wave).  With
+        ``cigar_fn`` (ops/global_jax.make_cigar_backend) the sam_pe
+        reg2aln banded globals run as device rounds over the superset
+        of candidate regions (selection happens later, inside
+        sam_pe)."""
         import time
 
         n = len(reads1)
@@ -323,9 +327,16 @@ class NativePipeline:
         all_quals = list(quals1) + list(quals2)
         self._extend(reads, raw_t_fn)
         t_fin = time.time()
-        if rescue_fn is not None and self.opt.max_matesw > 0:
+        device_rescue = rescue_fn is not None and self.opt.max_matesw > 0
+        if device_rescue or cigar_fn is not None:
             self.lib.mp_pe_prepare(self.h, n, self.nthreads)
-            self._device_rescue(rescue_fn)
+            if device_rescue:
+                self._device_rescue(rescue_fn)
+            else:
+                self.lib.mp_rescue_host(self.h, n, self.nthreads)
+            if cigar_fn is not None:
+                n_active = int(self.lib.mp_cigar_collect_pe(self.h))
+                self._device_cigar_rounds(n_active, cigar_fn)
             nrec = self.lib.mp_finalize_pe_tail(self.h, n, self.nthreads)
         else:
             nrec = self.lib.mp_finalize_pe(self.h, n, self.nthreads)

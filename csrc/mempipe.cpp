@@ -1302,7 +1302,11 @@ void sam_pe(MemPipe& mp, int64_t n_pairs, int64_t i,
   RecordC h[2];
   for (int e = 0; e < 2; ++e) {
     if (z[e] >= 0) {
-      h[e] = reg2aln(mp, reads_idx[e], regs[e][z[e]]);
+      // mark_primary mutates only fields on the local copies, never
+      // the order, so the copy index z[e] keys the device-CIGAR
+      // result table built from the original region lists
+      h[e] = reg2aln(mp, reads_idx[e], regs[e][z[e]],
+                     cig_lookup(mp, reads_idx[e], z[e]));
       if (q_se[e] >= 0) h[e].mapq = q_se[e];
     } else {
       h[e] = RecordC();
@@ -1323,7 +1327,8 @@ void sam_pe(MemPipe& mp, int64_t n_pairs, int64_t i,
         if ((int64_t)k == z[e]) continue;
         const RegionC& p = regs[e][k];
         if (p.secondary < 0 || p.score < o.T) continue;
-        RecordC q = reg2aln(mp, reads_idx[e], p);
+        RecordC q = reg2aln(mp, reads_idx[e], p,
+                            cig_lookup(mp, reads_idx[e], (int64_t)k));
         q.sub = -1;
         q.flag |= 0x100;
         RecordC rec = aln2sam_pe(mp, q, h[1 - e], e);
@@ -1974,6 +1979,8 @@ int64_t mp_finalize_pe_tail(void* h, int64_t n_pairs, int64_t nthreads) {
     for (auto& t : ths) t.join();
   }
   mp.rescue_anchors.clear();
+  mp.cig_tasks.clear();
+  mp.cig_results.clear();
   int64_t n = 0;
   for (const auto& pr : mp.per) n += (int64_t)pr.records.size();
   return n;
@@ -2137,6 +2144,67 @@ int64_t mp_finalize_records(void* h, int64_t nthreads) {
       mp.rec_read.push_back(ri);
   }
   return n;
+}
+
+// PE task collection for the device-CIGAR rounds: which regions
+// sam_pe will reg2aln depends on pairing decisions made later, so
+// collect the superset (every region of either end passing the score
+// threshold — regions per read are few and the device batch makes the
+// extras nearly free).  Runs after mp_pe_prepare + rescue so rescued
+// regions are included; sam_pe's copies preserve region order, so
+// (read, index) keys stay valid.
+int64_t mp_cigar_collect_pe(void* h) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  mp.cig_tasks.clear();
+  mp.cig_results.clear();
+  int64_t stride = 1;
+  for (const auto& pr : mp.per)
+    stride = std::max(stride, (int64_t)pr.regions.size() + 1);
+  mp.cig_stride = stride;
+  for (int64_t ri = 0; ri < mp.n_reads; ++ri) {
+    const auto& regs = mp.per[ri].regions;
+    for (size_t ki = 0; ki < regs.size(); ++ki) {
+      const RegionC& p = regs[ki];
+      if (p.score < o.T || p.rb < 0 || p.re < 0) continue;
+      MemPipe::CigTask t;
+      t.ri = ri;
+      t.ki = (int64_t)ki;
+      int64_t w2;
+      if (!gen_cigar_setup(mp, ri, p, t.qseg, t.rseg, &w2)) continue;
+      if (t.qseg.empty() || t.rseg.empty()) continue;
+      t.w2 = w2;
+      t.last_sc = -((int64_t)1 << 30);
+      t.round = 0;
+      t.truesc = p.truesc;
+      mp.cig_tasks.push_back(std::move(t));
+    }
+  }
+  return (int64_t)mp.cig_tasks.size();
+}
+
+// Host-side rescue for the split PE path (used when only the CIGARs
+// are delegated to the device): the rescue half of mp_finalize_pe's
+// pair worker, threaded.
+void mp_rescue_host(void* h, int64_t n_pairs, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  if (mp.opt.max_matesw <= 0) return;
+  int nt = std::max((int)nthreads, 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_pairs) break;
+      rescue_pairs(mp, mp.pe_stat, n_pairs, i);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
 }
 
 // fields: (n_records, 16) int64 rows

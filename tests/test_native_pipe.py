@@ -289,6 +289,59 @@ def test_se_device_cigar_flag_a(world):
         [[r.line() for r in x] for x in got]
 
 
+def test_pe_device_cigar_and_rescue_sam_identical(world):
+    """PE with BOTH device protocols (mp_rescue_* waves + mp_cigar_*
+    rounds over the candidate superset) == the all-C++ PE path, byte
+    for byte; both protocols must fire."""
+    from bwamem_tpu.ops.global_jax import make_cigar_backend
+    from bwamem_tpu.ops.local_jax import make_rescue_backend
+
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 36)
+    for i in range(0, 36, 9):
+        r2s[i] = revcomp_read(r2s[i])
+    row_fn, raw_t_fn = _backends(opt)
+    want = native_driver.NativePipeline(
+        opt, ref, fm, po, nthreads=2).align_pairs_chunk(r1s, r2s,
+                                                        raw_t_fn)
+    rcalls, ccalls = [], []
+    rbase, cbase = make_rescue_backend(), make_cigar_backend()
+
+    def rcount(*a):
+        rcalls.append(a[0].shape)
+        return rbase(*a)
+
+    def ccount(*a):
+        ccalls.append(a[0].shape)
+        return cbase(*a)
+
+    got = native_driver.NativePipeline(
+        opt, ref, fm, po, nthreads=2).align_pairs_chunk(
+        r1s, r2s, raw_t_fn, rescue_fn=rcount, cigar_fn=ccount)
+    assert rcalls and ccalls, (rcalls, ccalls)
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
+def test_pe_device_cigar_only_sam_identical(world):
+    """cigar_fn without rescue_fn: rescue stays host C++
+    (mp_rescue_host) and only the sam_pe globals go to the device."""
+    from bwamem_tpu.ops.global_jax import make_cigar_backend
+
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 24)
+    row_fn, raw_t_fn = _backends(opt)
+    want = native_driver.NativePipeline(
+        opt, ref, fm, po).align_pairs_chunk(r1s, r2s, raw_t_fn)
+    got = native_driver.NativePipeline(
+        opt, ref, fm, po).align_pairs_chunk(
+        r1s, r2s, raw_t_fn, cigar_fn=make_cigar_backend())
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
 def test_fused_sam_identical(world):
     """The fused one-call protocol (mp_prepare_fused + the fused Pallas
     kernel, interpret mode) == the Python oracle SAM byte for byte —
