@@ -200,14 +200,22 @@ def make_cigar_backend():
             jnp.asarray(np.array([o_del, e_del, o_ins, e_ins],
                                  np.int32)),
             qmax=qmax, tmax=tmax)
-        cigars = rle_cigars(np.asarray(steps))
-        ncig = np.array([len(c) for c in cigars], np.int32)
-        flat = np.fromiter(
-            (x for c in cigars for p in c for x in p), np.int32,
-            count=2 * int(ncig.sum()))
-        return np.asarray(score, np.int32), ncig, flat
+        return pack_cigar_round(score, steps)
 
     return fn
+
+
+def pack_cigar_round(score, steps):
+    """(score, steps) device outputs -> the mp_cigar round triple
+    (scores (Bp,) int32, counts (Bp,) int32, flat (op, len) int32
+    pairs task-major).  Shared by the single-device and mesh-sharded
+    cigar backends."""
+    cigars = rle_cigars(np.asarray(steps))
+    ncig = np.array([len(c) for c in cigars], np.int32)
+    flat = np.fromiter(
+        (x for c in cigars for p in c for x in p), np.int32,
+        count=2 * int(ncig.sum()))
+    return np.asarray(score, np.int32), ncig, flat
 
 
 def _pow2(n: int, lo: int) -> int:

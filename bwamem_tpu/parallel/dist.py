@@ -161,6 +161,91 @@ def make_sharded_global_batch(mesh: Mesh, *, qmax: int, tmax: int):
     return sharded
 
 
+def make_sharded_cigar_backend(mesh: Mesh):
+    """Mesh-sharded device CIGAR backend for NativePipeline's
+    mp_cigar_* round protocol: same contract as
+    ops/global_jax.make_cigar_backend — fn(q_i8, t_i8, meta, mat,
+    o_del, e_del, o_ins, e_ins) -> (scores, counts, flat) — with the
+    fill + traceback shard_mapped over the mesh (one
+    make_sharded_global_batch program cached per (qmax, tmax) round
+    bucket).  Only the run-length encoding stays on the host."""
+    from bwamem_tpu.ops.global_jax import pack_cigar_round
+
+    n_dev = int(mesh.devices.size)
+    cache: dict = {}
+
+    def fn(q_i8, t_i8, meta, mat, o_del, e_del, o_ins, e_ins):
+        B, qmax = q_i8.shape
+        tmax = t_i8.shape[1]
+        assert B % n_dev == 0, (B, n_dev)
+        key = (qmax, tmax)
+        if key not in cache:
+            cache[key] = make_sharded_global_batch(mesh, qmax=qmax,
+                                                   tmax=tmax)
+        pens = np.array([o_del, e_del, o_ins, e_ins], np.int32)
+        score, steps = cache[key](
+            np.asarray(q_i8), np.asarray(meta[0]), np.asarray(t_i8),
+            np.asarray(meta[1]), np.asarray(meta[2]),
+            np.asarray(mat, np.int32), pens)
+        return pack_cigar_round(score, steps)
+
+    fn.b_quantum = n_dev
+    return fn
+
+
+def make_sharded_rescue_backend(mesh: Mesh):
+    """Data-parallel device mate rescue (ops/local_jax._align6): the
+    batched local Smith-Waterman behind mem_matesw with the task axis
+    sharded over the mesh.  Same contract as
+    ops/local_jax.make_rescue_backend — fn(seq_i8, rseq_i8, lens, mat,
+    o_del, e_del, o_ins, e_ins) -> (6, Bp) int32 — so NativePipeline's
+    mp_rescue_* wave protocol consumes it unchanged.  Rescue waves are
+    shape-bucketed by the caller; one shard_map program is cached per
+    (qmax, tmax) bucket.  Bp must be a multiple of n_devices (the
+    wave builder's 256-lane buckets always are)."""
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops import local_jax
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    cache: dict = {}
+
+    def _program(qmax: int, tmax: int):
+        if (qmax, tmax) not in cache:
+            def local(query, qlen, target, tlen, mat, pens):
+                return local_jax._align6(query, qlen, target, tlen,
+                                         mat, pens, qmax=qmax, tmax=tmax)
+
+            cache[(qmax, tmax)] = jax.jit(jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis), P(None),
+                          P(None)),
+                # rows [score, qb, qe, tb, te, score2]: task axis is 1
+                out_specs=P(None, axis),
+                # plain batch-dim data parallelism; same vma rationale
+                # as make_sharded_global_batch
+                check_vma=False,
+            ))
+        return cache[(qmax, tmax)]
+
+    def fn(seq_i8, rseq_i8, lens, mat, o_del, e_del, o_ins, e_ins):
+        B, qmax = seq_i8.shape
+        tmax = rseq_i8.shape[1]
+        assert B % n_dev == 0, (B, n_dev)
+        pens = jnp.asarray(
+            np.array([o_del, e_del, o_ins, e_ins], np.int32))
+        out = _program(qmax, tmax)(
+            jnp.asarray(seq_i8), jnp.asarray(lens[0]),
+            jnp.asarray(rseq_i8), jnp.asarray(lens[1]),
+            jnp.asarray(np.asarray(mat, np.int32)), pens)
+        return np.asarray(out, np.int32)
+
+    fn.b_quantum = n_dev
+    return fn
+
+
 def shard_batch(mesh: Mesh, arrays):
     """Device-put a pytree of (B, ...) host arrays with batch-dim sharding."""
     axis = mesh.axis_names[0]

@@ -125,6 +125,49 @@ gs, gst = gfn(qa, gql, ta, gtl, gw, mat, pens)
 assert np.array_equal(np.asarray(ws), gs), "global score mismatch"
 assert np.array_equal(np.asarray(wst), gst), "global traceback mismatch"
 print("sharded device CIGAR == unsharded: ok")
+
+# 5) device mate rescue (batched local SW) through the mesh
+from bwamem_tpu.ops.local_jax import make_rescue_backend
+from bwamem_tpu.parallel.dist import make_sharded_rescue_backend
+
+Br, rq, rt = 32, 32, 96
+rseq = rng.integers(0, 4, (Br, rq)).astype(np.int8)
+rwin = rng.integers(0, 4, (Br, rt)).astype(np.int8)
+rlens = np.zeros((2, Br), np.int32)
+rlens[0] = rng.integers(5, rq + 1, Br)
+rlens[1] = rng.integers(10, rt + 1, Br)
+rfn1 = make_rescue_backend()
+want_r = rfn1(rseq, rwin, rlens, mat, opt.o_del, opt.e_del,
+              opt.o_ins, opt.e_ins)
+rfn8 = make_sharded_rescue_backend(mesh)
+got_r = rfn8(rseq, rwin, rlens, mat, opt.o_del, opt.e_del,
+             opt.o_ins, opt.e_ins)
+assert np.array_equal(np.asarray(want_r), got_r), "rescue mismatch"
+print("sharded device rescue == unsharded: ok")
+
+# 6) full paired-end chunk: extension + rescue + CIGAR all sharded
+from bwamem_tpu.ops.global_jax import make_cigar_backend
+from bwamem_tpu.parallel.dist import make_sharded_cigar_backend
+
+r1s, r2s = [], []
+for i in range(16):
+    pos = int(rng.integers(0, 40000 - 400))
+    r1 = pac[pos:pos + 100].astype(np.int64).copy()
+    r2 = revcomp_read(pac[pos + 200:pos + 300].astype(np.int64))
+    for r in (r1, r2):
+        p = int(rng.integers(0, 100))
+        r[p] = (r[p] + 1) % 4
+    r1s.append(r1)
+    r2s.append(r2)
+pipeA = native_driver.NativePipeline(opt, ref, fm, po, blk_l=BLK)
+want_pe = [[r.line() for r in rr] for rr in pipeA.align_pairs_chunk(
+    r1s, r2s, single, rescue_fn=rfn1, cigar_fn=make_cigar_backend())]
+pipeB = native_driver.NativePipeline(opt, ref, fm, po, blk_l=BLK)
+got_pe = [[r.line() for r in rr] for rr in pipeB.align_pairs_chunk(
+    r1s, r2s, sharded, rescue_fn=rfn8,
+    cigar_fn=make_sharded_cigar_backend(mesh))]
+assert want_pe == got_pe, "PE SAM mismatch under full mesh sharding"
+print("e2e sharded PE SAM == single-device PE SAM: ok")
 """
 
 
@@ -142,3 +185,5 @@ def test_sharded_extension_8dev_cpu_mesh():
     assert "e2e sharded SAM == single-device SAM: ok" in r.stdout
     assert "e2e sharded fused SAM == single-device SAM: ok" in r.stdout
     assert "sharded device CIGAR == unsharded: ok" in r.stdout
+    assert "sharded device rescue == unsharded: ok" in r.stdout
+    assert "e2e sharded PE SAM == single-device PE SAM: ok" in r.stdout
