@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--device-cigar", action="store_true",
                     help="run reg2aln banded globals + traceback on "
                          "device (the mp_cigar_* round protocol)")
+    ap.add_argument("--trace", metavar="PATH",
+                    help="write the per-batch device trace "
+                         "(utils.metrics.Tracer JSONL) to PATH")
     ap.add_argument("--discordant", type=float, default=0.0,
                     metavar="FRAC",
                     help="make FRAC of simulated pairs same-strand "
@@ -151,8 +154,13 @@ def main():
                 raw_t_fn = native_driver.make_raw_t_backend(params)
             else:  # fused whole-alignment kernel: 1 round trip/chunk
                 raw_t_fn = native_driver.make_fused_backend(params)
+            tracer = None
+            if args.trace:
+                from bwamem_tpu.utils.metrics import Tracer
+
+                tracer = Tracer(args.trace)
             pipes = [native_driver.NativePipeline(
-                opt, ref, fm, po, nthreads=args.threads)
+                opt, ref, fm, po, nthreads=args.threads, tracer=tracer)
                 for _ in range(2 if args.overlap else 1)]
             print(f"[host] native pipeline, {args.threads} thread(s)"
                   f"{', overlapped' if args.overlap else ''}",
@@ -222,6 +230,13 @@ def main():
             n_rec += sum(len(x) for x in recs)
             chunk_times.append((len(chunk), time.time() - tc))
     dt = time.time() - t0
+    if args.trace and pipes and pipes[0].tracer is not None:
+        c = pipes[0].tracer.counters
+        print(f"[trace] device {c.device_seconds:.2f}s over "
+              f"{c.device_batches} batches ({c.band_cells/1e9:.1f} Gcells)"
+              f", host {c.host_seconds:.2f}s, wall {dt:.2f}s",
+              file=sys.stderr)
+        pipes[0].tracer.close()
     n = len(reads) * (2 if args.paired else 1)
     mult = 2 if args.paired else 1
     # steady state excludes warm-up chunks (jit compiles in this

@@ -45,6 +45,36 @@ class SamRecord:
         return "\t".join(fields)
 
 
+class SamLine:
+    """A pre-rendered SAM line (the native pipeline's C++ emitter,
+    csrc/mempipe.cpp mp_emit_sam).  Duck-compatible with SamRecord for
+    the consumers that matter (`line()`, `flag`); field access parses
+    lazily so the hot path stays one Python object per record."""
+
+    __slots__ = ("_l",)
+
+    def __init__(self, line: str):
+        self._l = line
+
+    def line(self) -> str:
+        return self._l
+
+    @property
+    def flag(self) -> int:
+        return int(self._l.split("\t", 2)[1])
+
+    @property
+    def qname(self) -> str:
+        return self._l.split("\t", 1)[0]
+
+    @property
+    def mapq(self) -> int:
+        return int(self._l.split("\t", 5)[4])
+
+    def __repr__(self) -> str:
+        return f"SamLine({self._l[:60]!r}...)"
+
+
 def sam_header(contigs, extra_lines=(), rg_line: str | None = None,
                pg_cl: str = "bwamem_tpu") -> str:
     lines = ["@HD\tVN:1.5\tSO:unsorted\tGO:query"]

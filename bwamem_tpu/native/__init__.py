@@ -305,6 +305,12 @@ def _bind_mempipe(lib):
     lib.mp_blob_size.argtypes = [ctypes.c_void_p]
     lib.mp_get_records.restype = None
     lib.mp_get_records.argtypes = [ctypes.c_void_p, p64, ctypes.c_char_p]
+    lib.mp_sam_size.restype = i64
+    lib.mp_sam_size.argtypes = [ctypes.c_void_p, p64]
+    lib.mp_emit_sam.restype = None
+    lib.mp_emit_sam.argtypes = [ctypes.c_void_p, ctypes.c_char_p, p64,
+                                ctypes.c_char_p, p64, ctypes.c_char_p,
+                                p64, p64, i64]
     lib.mp_region_count.restype = i64
     lib.mp_region_count.argtypes = [ctypes.c_void_p, i64]
     lib.mp_export_regions.restype = None

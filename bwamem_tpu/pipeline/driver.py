@@ -72,12 +72,20 @@ def _plan_read(opt: MemOptions, ref: Reference, read: np.ndarray, chains):
     return plans
 
 
-def _bucket(n: int, buckets=(128, 256, 512, 1024, 2048, 4096)) -> int:
+def _bucket(n: int, buckets=(128, 160, 192, 256, 320, 384, 512, 640,
+                             768, 1024, 1536, 2048, 3072, 4096)) -> int:
     """Smallest standard size >= n.  Fixed shape buckets keep the set of
     compiled programs tiny — with per-batch exact shapes every batch
     recompiled (the dominant cost: this environment's XLA compiles are
     minutes), with buckets the compile happens once and lives in the
-    persistent cache."""
+    persistent cache.
+
+    The sequence-axis buckets are finer than powers of two (all
+    sublane-tile multiples of 32): the Pallas kernels compute every
+    padded SUBLANE of every row, so e.g. 150 bp reads in a 256 bucket
+    would waste 40% of the row work — the 160 bucket recovers it.
+    Typical short-read chunks see qmax 160/192 and tmax 320/384, so
+    the hot compile set stays small."""
     for b in buckets:
         if n <= b:
             return b

@@ -20,9 +20,9 @@ import ctypes
 import numpy as np
 
 from bwamem_tpu.config import MemOptions
-from bwamem_tpu.io.fasta import Reference, decode_seq
-from bwamem_tpu.io.sam import SamRecord
-from bwamem_tpu.pipeline.align import Region, revcomp_read
+from bwamem_tpu.io.fasta import Reference
+from bwamem_tpu.io.sam import SamLine, SamRecord
+from bwamem_tpu.pipeline.align import Region
 from bwamem_tpu.pipeline.driver import _bucket
 from bwamem_tpu import native
 
@@ -389,73 +389,41 @@ class NativePipeline:
                     self.h, out.ctypes.data_as(_P32), Bp)
 
     def _collect(self, nrec, n_groups, reads, names, quals):
-        fields = np.zeros((max(nrec, 1), 16), np.int64)
-        blob = ctypes.create_string_buffer(
-            max(int(self.lib.mp_blob_size(self.h)), 1))
-        self.lib.mp_get_records(self.h, fields.ctypes.data_as(_P64), blob)
-        out: list[list[SamRecord]] = [[] for _ in range(n_groups)]
-        boff = 0
-        raw = blob.raw
-        for i in range(nrec):
-            (ri, flag, rid, pos, mapq, nm, score, sub, is_rev,
-             ncig, nmd, nxa, mate_rid, pnext0, tlen,
-             group) = (int(x) for x in fields[i])
-            cigar = raw[boff:boff + ncig].decode("ascii")
-            boff += ncig + 1
-            md = raw[boff:boff + nmd].decode("ascii")
-            boff += nmd + 1
-            xa = raw[boff:boff + nxa].decode("ascii")
-            boff += nxa + 1
-            out[group].append(self._assemble(
-                names[ri], reads[ri], quals[ri], flag, rid, pos, mapq,
-                cigar, nm, md, score, sub, bool(is_rev), xa,
-                mate_rid, pnext0, tlen))
-        return out
+        """SAM lines for the chunk, grouped by read (SE) / pair (PE).
 
-    def _assemble(self, name, read, qual, flag, rid, pos, mapq, cigar,
-                  nm, md, score, sub, is_rev, xa, mate_rid=-9, pnext0=-1,
-                  tlen=0) -> SamRecord:
-        """aln2sam's seq/qual/tag assembly (the only per-record Python).
-        mate_rid == -9 means single-end; >= 0 names the mate's contig
-        (RNEXT '=' when it equals rid); -1 = paired but mate unmapped."""
-        if rid < 0:
-            rec = SamRecord(qname=name, flag=flag, rname="*", pos=0,
-                            mapq=0, cigar="*", seq=decode_seq(read),
-                            qual=qual or "*")
-            if mate_rid >= 0:
-                # unmapped read in a pair: placed at its mate's coords
-                rec.rname = self.ref.contigs[mate_rid].name
-                rec.pos = pnext0 + 1
-                rec.rnext = "="
-                rec.pnext = pnext0 + 1
-            return rec
-        if is_rev:
-            seq = decode_seq(revcomp_read(read))
-            oq = qual[::-1] if qual else None
-        else:
-            seq = decode_seq(read)
-            oq = qual
-        if flag & 0x800:
-            # hard-clip supplementary: S -> H in the cigar, trim seq/qual
-            cigar, clip5, clip3 = _hard_clip(cigar)
-            seq = seq[clip5:len(seq) - clip3]
-            oq = oq[clip5:len(oq) - clip3] if oq else None
-        tags: list = [("NM", "i", nm), ("MD", "Z", md)]
-        if sub >= 0:
-            tags.append(("XS", "i", sub))
-        tags.append(("AS", "i", score))
-        if xa:
-            tags.append(("XA", "Z", xa))
-        rec = SamRecord(qname=name, flag=flag,
-                        rname=self.ref.contigs[rid].name, pos=pos + 1,
-                        mapq=mapq, cigar=cigar, seq=seq, qual=oq or "*",
-                        tags=tags)
-        if mate_rid >= 0:
-            rec.rnext = ("=" if mate_rid == rid
-                         else self.ref.contigs[mate_rid].name)
-            rec.pnext = pnext0 + 1
-            rec.tlen = tlen
-        return rec
+        The whole aln2sam assembly (seq/qual orientation, hard clips,
+        tags) runs in C++ (mp_emit_sam, -t threads); Python only slices
+        the returned text blob — one SamLine object per record is the
+        entire per-record Python cost."""
+        del reads
+        out: list[list] = [[] for _ in range(n_groups)]
+        if nrec == 0:
+            return out
+        name_off = np.zeros(len(names) + 1, np.int64)
+        np.cumsum([len(s) for s in names], out=name_off[1:])
+        name_blob = "".join(names).encode("ascii")
+        qual_blob = None
+        qual_off_p = None
+        if any(quals):
+            qual_off = np.zeros(len(quals) + 1, np.int64)
+            np.cumsum([len(q) if q else 0 for q in quals],
+                      out=qual_off[1:])
+            qual_blob = "".join(q or "" for q in quals).encode("ascii")
+            qual_off_p = qual_off.ctypes.data_as(_P64)
+        cap = int(self.lib.mp_sam_size(
+            self.h, name_off.ctypes.data_as(_P64)))
+        buf = ctypes.create_string_buffer(max(cap, 1))
+        line_off = np.zeros(nrec + 1, np.int64)
+        group = np.zeros(nrec, np.int64)
+        self.lib.mp_emit_sam(
+            self.h, name_blob, name_off.ctypes.data_as(_P64), qual_blob,
+            qual_off_p, buf, line_off.ctypes.data_as(_P64),
+            group.ctypes.data_as(_P64), self.nthreads)
+        text = buf.raw[:int(line_off[nrec])].decode("ascii")
+        off = line_off.tolist()
+        for i, g in enumerate(group.tolist()):
+            out[g].append(SamLine(text[off[i]:off[i + 1]]))
+        return out
 
     # -- paired-end support: regions only --------------------------------
 
@@ -475,21 +443,6 @@ class NativePipeline:
                                   seedlen0=seedlen0))
         self.lib.mp_chunk_end(self.h)
         return out
-
-
-def _hard_clip(cigar: str) -> tuple[str, int, int]:
-    """S -> H at both ends; returns (new_cigar, clip5, clip3)."""
-    import re
-
-    ops = re.findall(r"(\d+)([MIDSH])", cigar)
-    clip5 = clip3 = 0
-    if ops and ops[0][1] == "S":
-        clip5 = int(ops[0][0])
-        ops[0] = (ops[0][0], "H")
-    if len(ops) > 1 and ops[-1][1] == "S":
-        clip3 = int(ops[-1][0])
-        ops[-1] = (ops[-1][0], "H")
-    return "".join(f"{n}{o}" for n, o in ops), clip5, clip3
 
 
 def make_raw_t_backend(params, blk_l: int = 512, interpret: bool = False):

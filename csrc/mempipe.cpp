@@ -27,9 +27,11 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cctype>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <set>
 #include <string>
@@ -2292,6 +2294,197 @@ void mp_export_regions(void* h, int64_t* rows) {
       ++k;
     }
   }
+}
+
+// ---- whole-line SAM emission ---------------------------------------
+// The aln2sam seq/qual/tag assembly (bwa-0.7.8 mem_aln2sam, SURVEY §2.3)
+// as complete SAM lines — byte-identical to the Python
+// SamRecord.line() the oracle path renders (pinned by
+// tests/test_native_pipe.py).  This removes the last per-record Python
+// from the hot path: the host hands back one text blob per chunk.
+
+static void sam_int(std::string& s, int64_t v) {
+  char b[24];
+  s.append(b, (size_t)snprintf(b, sizeof b, "%lld", (long long)v));
+}
+
+static const char kBase[5] = {'A', 'C', 'G', 'T', 'N'};
+
+// S -> H at both cigar ends; returns (clip5, clip3), rewrites cig.
+static void sam_hard_clip(std::string& cig, int64_t* c5, int64_t* c3) {
+  *c5 = *c3 = 0;
+  if (cig.empty() || cig == "*") return;
+  size_t i = 0;
+  while (i < cig.size() && isdigit((unsigned char)cig[i])) ++i;
+  if (i < cig.size() && cig[i] == 'S') {
+    *c5 = strtoll(cig.c_str(), nullptr, 10);
+    cig[i] = 'H';
+  }
+  size_t j = cig.size() - 1;
+  if (cig[j] == 'S' && j > i) {
+    size_t k = j;
+    while (k > 0 && isdigit((unsigned char)cig[k - 1])) --k;
+    *c3 = strtoll(cig.c_str() + k, nullptr, 10);
+    cig[j] = 'H';
+  }
+}
+
+static void sam_emit_one(const MemPipe& mp, const RecordC& r,
+                         const char* name, int64_t name_len,
+                         const char* qual, int64_t qual_len,
+                         std::string& s) {
+  const uint8_t* rd = mp.reads + r.src_read * mp.L;
+  int64_t ql = mp.qlen[r.src_read];
+  s.append(name, (size_t)name_len);
+  s.push_back('\t');
+  sam_int(s, r.flag);
+  s.push_back('\t');
+  if (r.rid < 0) {  // unmapped: placed at the mate when paired
+    if (r.mate_rid >= 0) {
+      s.append(mp.ctg_name[r.mate_rid]);
+      s.push_back('\t');
+      sam_int(s, r.pnext0 + 1);
+      s.append("\t0\t*\t=\t");
+      sam_int(s, r.pnext0 + 1);
+      s.append("\t0\t");
+    } else {
+      s.append("*\t0\t0\t*\t*\t0\t0\t");
+    }
+    for (int64_t j = 0; j < ql; ++j)
+      s.push_back(kBase[std::min<int64_t>(rd[j], 4)]);
+    s.push_back('\t');
+    if (qual_len > 0)
+      s.append(qual, (size_t)qual_len);
+    else
+      s.push_back('*');
+    return;  // no tags on unmapped records
+  }
+  std::string cig = r.cigar;
+  int64_t c5 = 0, c3 = 0;
+  if (r.flag & 0x800) sam_hard_clip(cig, &c5, &c3);
+  s.append(mp.ctg_name[r.rid]);
+  s.push_back('\t');
+  sam_int(s, r.pos + 1);
+  s.push_back('\t');
+  sam_int(s, r.mapq);
+  s.push_back('\t');
+  s.append(cig);
+  s.push_back('\t');
+  if (r.mate_rid >= 0) {
+    if (r.mate_rid == r.rid)
+      s.push_back('=');
+    else
+      s.append(mp.ctg_name[r.mate_rid]);
+    s.push_back('\t');
+    sam_int(s, r.pnext0 + 1);
+    s.push_back('\t');
+    sam_int(s, r.tlen);
+  } else {
+    s.append("*\t0\t0");
+  }
+  s.push_back('\t');
+  // seq (revcomp when mapped reverse), hard-clip trimmed
+  if (r.is_rev) {
+    for (int64_t j = ql - 1 - c5; j >= c3; --j) {
+      int64_t c = std::min<int64_t>(rd[j], 4);
+      s.push_back(kBase[c < 4 ? 3 - c : 4]);
+    }
+  } else {
+    for (int64_t j = c5; j < ql - c3; ++j)
+      s.push_back(kBase[std::min<int64_t>(rd[j], 4)]);
+  }
+  s.push_back('\t');
+  if (qual_len > 0) {
+    if (r.is_rev)
+      for (int64_t j = qual_len - 1 - c5; j >= c3; --j)
+        s.push_back(qual[j]);
+    else
+      s.append(qual + c5, (size_t)(qual_len - c5 - c3));
+  } else {
+    s.push_back('*');
+  }
+  s.append("\tNM:i:");
+  sam_int(s, r.nm);
+  s.append("\tMD:Z:");
+  s.append(r.md);
+  if (r.sub >= 0) {
+    s.append("\tXS:i:");
+    sam_int(s, r.sub);
+  }
+  s.append("\tAS:i:");
+  sam_int(s, r.score);
+  if (!r.xa.empty()) {
+    s.append("\tXA:Z:");
+    s.append(r.xa);
+  }
+}
+
+// Upper bound on mp_emit_sam's output size.  name_off: (n_reads+1)
+// prefix offsets of the concatenated qname blob.
+int64_t mp_sam_size(void* h, const int64_t* name_off) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  int64_t maxctg = 1;
+  for (const auto& n : mp.ctg_name)
+    maxctg = std::max<int64_t>(maxctg, (int64_t)n.size());
+  int64_t tot = 0;
+  for (const auto& pr : mp.per)
+    for (const auto& r : pr.records)
+      tot += (name_off[r.src_read + 1] - name_off[r.src_read]) +
+             (int64_t)(r.cigar.size() + r.md.size() + r.xa.size()) +
+             2 * mp.qlen[r.src_read] + 2 * maxctg + 160;
+  return tot;
+}
+
+// Render every record as a complete SAM line.  names/name_off: qname
+// blob per input read; quals/qual_off: phred blob or NULL (=> "*").
+// out: >= mp_sam_size bytes; line_off: (nrec+1) byte offsets into out;
+// group: (nrec) read/pair index of each line (mp_get_records f[15]).
+void mp_emit_sam(void* h, const char* names, const int64_t* name_off,
+                 const char* quals, const int64_t* qual_off, char* out,
+                 int64_t* line_off, int64_t* group, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  struct Ref {
+    const RecordC* r;
+    int64_t g;
+  };
+  std::vector<Ref> refs;
+  for (int64_t ri = 0; ri < mp.n_reads; ++ri)
+    for (const auto& r : mp.per[ri].records) refs.push_back({&r, ri});
+  std::vector<std::string> lines(refs.size());
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= (int64_t)refs.size()) break;
+      const RecordC& r = *refs[i].r;
+      int64_t src = r.src_read;
+      const char* q = nullptr;
+      int64_t qn = 0;
+      if (quals && qual_off) {
+        q = quals + qual_off[src];
+        qn = qual_off[src + 1] - qual_off[src];
+      }
+      lines[i].reserve(192);
+      sam_emit_one(mp, r, names + name_off[src],
+                   name_off[src + 1] - name_off[src], q, qn, lines[i]);
+    }
+  };
+  int nt = std::max((int)nthreads, 1);
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  int64_t off = 0;
+  for (size_t i = 0; i < refs.size(); ++i) {
+    line_off[i] = off;
+    std::memcpy(out + off, lines[i].data(), lines[i].size());
+    off += (int64_t)lines[i].size();
+    group[i] = refs[i].g;
+  }
+  line_off[refs.size()] = off;
 }
 
 void mp_chunk_end(void* h) {
