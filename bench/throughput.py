@@ -75,11 +75,30 @@ def main():
     pac = rng.integers(0, 4, n_bp).astype(np.uint8)
     ref = Reference(contigs=[Contig("sim", 0, n_bp)], pac=pac)
 
+    # cache the simulated-genome index across bench invocations (the
+    # build is deterministic in n_bp; a 60 Mb rebuild costs 40-80 s per
+    # config sweep point otherwise)
+    cache = f"/tmp/bwamem_bench_idx_{n_bp}.npz"
     t0 = time.time()
-    fm = build_index(pac)
+    if os.path.exists(cache):
+        from bwamem_tpu.index.build import FMIndex
+
+        z = np.load(cache, allow_pickle=False)
+        fm = FMIndex(
+            l_pac=int(z["l_pac"]), seq_len2=int(z["seq_len2"]),
+            primary=int(z["primary"]), C=z["C"], bwt=z["bwt"],
+            occ_cp=z["occ_cp"], sa_intv=int(z["sa_intv"]), ssa=z["ssa"],
+            pac=z["pac"])
+        how = "cached"
+    else:
+        fm = build_index(pac)
+        np.savez(cache, l_pac=fm.l_pac, seq_len2=fm.seq_len2,
+                 primary=fm.primary, C=fm.C, bwt=fm.bwt, occ_cp=fm.occ_cp,
+                 sa_intv=fm.sa_intv, ssa=fm.ssa, pac=fm.pac)
+        how = "built"
     t_index = time.time() - t0
     po = pack_occ(fm)
-    print(f"[index] {t_index:.1f}s", file=sys.stderr)
+    print(f"[index] {t_index:.1f}s ({how})", file=sys.stderr)
 
     # vectorized read simulation (the Python per-read loop dominates
     # wall time past ~1M reads); chunked to bound transient memory

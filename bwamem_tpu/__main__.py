@@ -116,18 +116,44 @@ def cmd_mem(args) -> int:
     from bwamem_tpu.pipeline.pair import align_pairs
 
     opt = MemOptions(flag_M=args.M, flag_a=args.a, w=args.w,
-                     min_seed_len=args.k, T=args.T)
+                     min_seed_len=args.k, T=args.T,
+                     a=args.A, b=args.B, o_del=args.O, o_ins=args.O,
+                     e_del=args.E, e_ins=args.E, zdrop=args.d,
+                     pen_clip5=args.L, pen_clip3=args.L,
+                     pen_unpaired=args.U, split_factor=args.r,
+                     max_occ=args.c,
+                     max_matesw=0 if args.S else 100,
+                     skip_pairing=args.P)
     ref, fm = load_index(args.fasta)
     from bwamem_tpu.index.occ_packed import pack_occ
 
     po = pack_occ(fm)
-    # streaming chunked ingest: WGS inputs never fully materialize
-    chunks = iter_fastq_chunks(args.reads, args.b)
-    mate_chunks = (iter_fastq_chunks(args.mates, args.b)
-                   if args.mates else None)
+    # streaming chunked ingest: WGS inputs never fully materialize.
+    # pair_iter yields (chunk, mate_chunk) for the PE path; None = SE.
+    chunks = None
+    pair_iter = None
+    if args.p and not args.mates:
+        # -p: one file of interleaved pairs — de-interleave per chunk
+        pair_iter = ((c[0::2], c[1::2])
+                     for c in iter_fastq_chunks(args.reads, 2 * args.b))
+    elif args.mates:
+        pair_iter = zip(iter_fastq_chunks(args.reads, args.b),
+                        iter_fastq_chunks(args.mates, args.b))
+    else:
+        chunks = iter_fastq_chunks(args.reads, args.b)
     out = sys.stdout
     out.write(sam_header(ref.contigs, rg_line=args.R,
                          pg_cl=" ".join(sys.argv)))
+
+    def emit(rec, comments=None) -> None:
+        """Write one record; -C appends the FASTQ comment of the end
+        the record belongs to (bwa appends it verbatim)."""
+        line = rec.line()
+        if comments is not None:
+            cm = comments[1] if (rec.flag & 0x80) else comments[0]
+            if cm:
+                line += "\t" + cm
+        out.write(line + "\n")
     n_rec = 0
     n_reads = 0
     tracer = None
@@ -146,7 +172,7 @@ def cmd_mem(args) -> int:
         sys.stderr.write("[mem] --host native unavailable; "
                          "falling back to python host\n")
     if args.device_cigar and args.backend != "scalar" and (
-            mate_chunks is not None and not use_native):
+            pair_iter is not None and not use_native):
         sys.stderr.write("[mem] --device-cigar for PE needs the native "
                          "host; ignored here\n")
     if args.device_cigar and args.backend == "scalar":
@@ -159,14 +185,14 @@ def cmd_mem(args) -> int:
         cigar_fn = make_cigar_backend()
     rescue_fn = None
     if args.device_rescue:
-        if mate_chunks is None or not use_native:
+        if pair_iter is None or not use_native:
             sys.stderr.write("[mem] --device-rescue applies to the "
                              "native PE path; ignored here\n")
         else:
             from bwamem_tpu.ops.local_jax import make_rescue_backend
 
             rescue_fn = make_rescue_backend()
-    if mate_chunks is not None:
+    if pair_iter is not None:
         if use_native:
             # full PE chunk in C++: pestat, mate rescue, pairing, sam_pe
             raw_t_fn = make_raw_t_backend(opt, args.backend)
@@ -176,7 +202,7 @@ def cmd_mem(args) -> int:
             backend_fn = None
         else:
             backend_fn = make_extend_backend(opt, args.backend)
-        for chunk, mchunk in zip(chunks, mate_chunks):
+        for chunk, mchunk in pair_iter:
             assert len(chunk) == len(mchunk), "read/mate count mismatch"
             start = n_reads // 2
             n_reads += len(chunk) * 2
@@ -201,12 +227,17 @@ def cmd_mem(args) -> int:
                     quals1=[r.qual for r in chunk],
                     quals2=[m.qual for m in mchunk], po=po,
                     extend_batch_fn=backend_fn)
-            for rr_ in recs:
+            for gi, rr_ in enumerate(recs):
+                cms = ((chunk[gi].comment, mchunk[gi].comment)
+                       if args.C else None)
                 for rec in rr_:
-                    out.write(rec.line() + "\n")
+                    emit(rec, cms)
                     n_rec += 1
             if manifest is not None:
                 manifest.mark_done(rr)
+            if args.v >= 3:
+                sys.stderr.write(
+                    f"[mem] processed {n_reads} reads\n")
     elif use_native:
         # TBB-style double buffering: two pipeline handles, chunk n+1's
         # host work (C++, GIL-free) overlaps chunk n's device phases
@@ -228,13 +259,16 @@ def cmd_mem(args) -> int:
 
         def flush_one(futs):
             nonlocal n_rec
-            rng_, fut = futs.popleft()
-            for rr in fut.result():
+            rng_, cms, fut = futs.popleft()
+            for gi, rr in enumerate(fut.result()):
+                cm = (cms[gi], None) if cms is not None else None
                 for rec in rr:
-                    out.write(rec.line() + "\n")
+                    emit(rec, cm)
                     n_rec += 1
             if manifest is not None:
                 manifest.mark_done(rng_)
+            if args.v >= 3:
+                sys.stderr.write(f"[mem] processed {n_reads} reads\n")
 
         with ThreadPoolExecutor(max_workers=2) as ex:
             futs: deque = deque()
@@ -247,7 +281,10 @@ def cmd_mem(args) -> int:
                     rng_ = ReadRange(0, start, start + len(chunk))
                     if manifest.is_done(rng_):
                         continue
-                futs.append((rng_, ex.submit(run_chunk, submitted, chunk)))
+                futs.append((rng_,
+                             [r.comment for r in chunk] if args.C
+                             else None,
+                             ex.submit(run_chunk, submitted, chunk)))
                 submitted += 1
                 while len(futs) >= 2:
                     flush_one(futs)
@@ -274,13 +311,18 @@ def cmd_mem(args) -> int:
                     names=[r.name for r in chunk],
                     quals=[r.qual for r in chunk], po=po,
                     device_cigar=args.device_cigar)
-            for rr_ in all_recs:
+            for gi, rr_ in enumerate(all_recs):
+                cms = (chunk[gi].comment, None) if args.C else None
                 for rec in rr_:
-                    out.write(rec.line() + "\n")
+                    emit(rec, cms)
                     n_rec += 1
             if manifest is not None:
                 manifest.mark_done(rr)
-    sys.stderr.write(f"[mem] wrote {n_rec} records for {n_reads} reads\n")
+            if args.v >= 3:
+                sys.stderr.write(f"[mem] processed {n_reads} reads\n")
+    if args.v >= 1:
+        sys.stderr.write(
+            f"[mem] wrote {n_rec} records for {n_reads} reads\n")
     if tracer is not None:
         import json as _json
 
@@ -312,11 +354,40 @@ def main(argv=None) -> int:
     mem.add_argument("-b", type=int, default=512, help="batch size")
     mem.add_argument("-k", type=int, default=19, help="min seed length")
     mem.add_argument("-w", type=int, default=100, help="band width")
+    mem.add_argument("-d", type=int, default=100,
+                     help="off-diagonal X-dropoff (Z-dropoff)")
+    mem.add_argument("-r", type=float, default=1.5,
+                     help="re-seed trigger: internal seeds inside a "
+                          "seed longer than k*FLOAT")
+    mem.add_argument("-c", type=int, default=500,
+                     help="skip seeds with more than INT occurrences")
+    mem.add_argument("-S", action="store_true", help="skip mate rescue")
+    mem.add_argument("-P", action="store_true",
+                     help="skip pairing; mate rescue performed unless "
+                          "-S also in use")
+    mem.add_argument("-A", type=int, default=1,
+                     help="score for a sequence match")
+    mem.add_argument("-B", type=int, default=4,
+                     help="penalty for a mismatch")
+    mem.add_argument("-O", type=int, default=6, help="gap open penalty")
+    mem.add_argument("-E", type=int, default=1,
+                     help="gap extension penalty; a gap of size k costs "
+                          "O + k*E")
+    mem.add_argument("-L", type=int, default=5,
+                     help="penalty for 5'- and 3'-end clipping")
+    mem.add_argument("-U", type=int, default=17,
+                     help="penalty for an unpaired read pair")
+    mem.add_argument("-p", action="store_true",
+                     help="first query file consists of interleaved "
+                          "paired-end sequences")
     mem.add_argument("-T", type=int, default=30, help="min output score")
     mem.add_argument("-M", action="store_true",
                      help="mark shorter split hits as secondary")
     mem.add_argument("-a", action="store_true",
                      help="output all alignments")
+    mem.add_argument("-C", action="store_true",
+                     help="append FASTA/FASTQ comment to SAM output")
+    mem.add_argument("-v", type=int, default=3, help="verbose level")
     mem.add_argument("-R", default=None, help="read group header line")
     mem.add_argument("--backend", default="scalar",
                      choices=["scalar", "jax", "pallas"],

@@ -58,6 +58,8 @@ class MemOptions:
     flag_a: bool = True   # -a: output all alignments (the README invocation is -Ma)
     max_matesw: int = 100
     max_ins: int = 10000  # maximum insert size for pairing
+    skip_pairing: bool = False  # -P: emit both ends SE-style with PE
+    #                             flags (bwa MEM_F_NOPAIRING)
 
     @property
     def mat(self) -> np.ndarray:

@@ -133,14 +133,21 @@ def _read_fastq_native(buf: bytes) -> list[Read] | None:
     for k in range(n):
         ns, ne, ss, se, qs = off[k]
         name = buf[ns:ne].decode()
+        # comment = rest of the header line past the first whitespace
+        # (bwa -C appends it verbatim to the SAM record)
+        le = buf.index(b"\n", ne)
+        cm = buf[ne:le].strip()
+        comment = cm.decode() if cm else None
         if qs >= 0:
             seq = _CODE[arr[ss:se]]
             qual = buf[qs:qs + (se - ss)].decode()
-            reads.append(Read(name=name, seq=seq, qual=qual))
+            reads.append(Read(name=name, seq=seq, qual=qual,
+                              comment=comment))
         else:
             span = arr[ss:se]
             keep = (span != 10) & (span != 13)  # strip newlines
-            reads.append(Read(name=name, seq=_CODE[span[keep]]))
+            reads.append(Read(name=name, seq=_CODE[span[keep]],
+                              comment=comment))
     return reads
 
 

@@ -61,6 +61,7 @@ class NativePipeline:
             opt.min_seed_len, opt.split_width, opt.max_occ,
             opt.max_chain_gap, opt.T, int(opt.flag_M), int(opt.flag_a), 5,
             opt.pen_unpaired, opt.max_matesw, opt.max_ins,
+            int(opt.skip_pairing),
         ], np.int64)
         self._opt_d = np.array([
             opt.split_factor, opt.drop_ratio, opt.mask_level,

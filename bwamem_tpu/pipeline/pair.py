@@ -200,7 +200,9 @@ def sam_pe(opt: MemOptions, ref: Reference, pes: list[PEStat], name: str,
                                           mate=h[1 - i], which=i))
         return recs
 
-    if a0 and a1:
+    # -P / MEM_F_NOPAIRING: bwa's `goto no_pairing` — skip straight to
+    # the independent-ends emission below
+    if a0 and a1 and not opt.skip_pairing:
         o, subo, n_sub, _, z = mem_pair(opt, ref.l_pac, pes, regs)
         if o > 0 and z is not None:
             # bail out if either end has an independent second hit

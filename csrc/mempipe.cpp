@@ -68,6 +68,7 @@ struct Opt {
   int64_t pen_clip5, pen_clip3, min_seed_len, split_width, max_occ;
   int64_t max_chain_gap, T, flag_M, flag_a, max_xa_hits;
   int64_t pen_unpaired = 17, max_matesw = 100, max_ins = 10000;
+  int64_t skip_pairing = 0;  // -P (bwa MEM_F_NOPAIRING)
   double split_factor, drop_ratio, mask_level, mapq_coef_len, mapq_coef_fac;
 };
 
@@ -1240,7 +1241,10 @@ void sam_pe(MemPipe& mp, int64_t n_pairs, int64_t i,
   int64_t q_se[2] = {-1, -1};
 
   bool paired_branch = false;
-  if (!regs[0].empty() && !regs[1].empty()) {
+  // -P / MEM_F_NOPAIRING: bwa's `goto no_pairing` — fall straight
+  // through to the independent-ends branch (rescue already ran unless
+  // -S disabled it)
+  if (!o.skip_pairing && !regs[0].empty() && !regs[1].empty()) {
     int64_t score, sub, n_sub, zz[2];
     bool found = mem_pair(o, mp.l_pac, pes, regs[0], regs[1], &score,
                           &sub, &n_sub, zz);
@@ -1377,6 +1381,7 @@ void* mp_new(const int64_t* opt_i, const double* opt_d, const int8_t* mat,
   o.pen_unpaired = opt_i[18];
   o.max_matesw = opt_i[19];
   o.max_ins = opt_i[20];
+  o.skip_pairing = opt_i[21];
   o.split_factor = opt_d[0];
   o.drop_ratio = opt_d[1];
   o.mask_level = opt_d[2];
