@@ -38,6 +38,9 @@ def main():
     ap.add_argument("-t", "--threads", type=int, default=1)
     ap.add_argument("--overlap", action="store_true",
                     help="double-buffered chunk pipeline (2 handles)")
+    ap.add_argument("--ship-ref", action="store_true",
+                    help="ship target windows from the host instead of "
+                         "gathering from the device-resident reference")
     ap.add_argument("--phased", action="store_true",
                     help="use the 4-pass protocol instead of the fused "
                          "whole-alignment kernel")
@@ -171,8 +174,12 @@ def main():
                 raw_t_fn = native_driver.make_jax_raw_t_backend(params)
             elif args.phased:
                 raw_t_fn = native_driver.make_raw_t_backend(params)
-            else:  # fused whole-alignment kernel: 1 round trip/chunk
+            elif args.ship_ref or 2 * len(ref.pac) >= 1 << 31:
+                # fused whole-alignment kernel: 1 round trip/chunk
                 raw_t_fn = native_driver.make_fused_backend(params)
+            else:  # + device-resident reference: scalars-only H2D
+                raw_t_fn = native_driver.make_fused_idx_backend(
+                    params, ref.pac)
             tracer = None
             if args.trace:
                 from bwamem_tpu.utils.metrics import Tracer

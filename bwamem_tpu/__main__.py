@@ -92,7 +92,7 @@ def make_extend_backend(opt, backend: str):
     return extend_pallas.make_raw_backend(params)
 
 
-def make_raw_t_backend(opt, backend: str):
+def make_raw_t_backend(opt, backend: str, pac=None, ship_ref=False):
     """Transposed-layout device backend for the native host pipeline."""
     from bwamem_tpu.utils.jaxcfg import enable_compilation_cache
 
@@ -102,6 +102,10 @@ def make_raw_t_backend(opt, backend: str):
     params = _extend_params(opt)
     if backend == "jax":
         return native_driver.make_jax_raw_t_backend(params)
+    if pac is not None and not ship_ref and 2 * len(pac) < 1 << 31:
+        # fused kernel + device-resident reference: one round trip per
+        # chunk and scalars-only H2D (the tunnel is the bottleneck)
+        return native_driver.make_fused_idx_backend(params, pac)
     # fused whole-alignment kernel: one device round trip per chunk
     return native_driver.make_fused_backend(params)
 
@@ -195,7 +199,7 @@ def cmd_mem(args) -> int:
     if pair_iter is not None:
         if use_native:
             # full PE chunk in C++: pestat, mate rescue, pairing, sam_pe
-            raw_t_fn = make_raw_t_backend(opt, args.backend)
+            raw_t_fn = make_raw_t_backend(opt, args.backend, pac=ref.pac, ship_ref=args.ship_ref)
             pipe = native_driver.NativePipeline(opt, ref, fm, po,
                                                 nthreads=args.t,
                                                 tracer=tracer)
@@ -245,7 +249,7 @@ def cmd_mem(args) -> int:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        raw_t_fn = make_raw_t_backend(opt, args.backend)
+        raw_t_fn = make_raw_t_backend(opt, args.backend, pac=ref.pac, ship_ref=args.ship_ref)
         pipes = [native_driver.NativePipeline(opt, ref, fm, po,
                                               nthreads=args.t,
                                               tracer=tracer)
@@ -398,6 +402,10 @@ def main(argv=None) -> int:
     mem.add_argument("--resume", default=None, metavar="MANIFEST.jsonl",
                      help="checkpoint manifest: completed chunks are "
                           "skipped, finished chunks appended")
+    mem.add_argument("--ship-ref", action="store_true",
+                     help="ship target windows from the host instead "
+                          "of gathering from the device-resident "
+                          "reference")
     mem.add_argument("--device-cigar", action="store_true",
                      help="run reg2aln global realignment (CIGAR "
                           "traceback) on device too (SE paths, python "

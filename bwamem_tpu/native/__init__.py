@@ -264,6 +264,8 @@ def _bind_mempipe(lib):
     lib.mp_fill_fused.restype = None
     lib.mp_fill_fused.argtypes = [ctypes.c_void_p, pi8, i64, pi8, i64,
                                   pi8, i64, pi8, i64, p32, i64]
+    lib.mp_fill_fused_idx.restype = None
+    lib.mp_fill_fused_idx.argtypes = [ctypes.c_void_p, p32, i64]
     lib.mp_fused_done.restype = None
     lib.mp_fused_done.argtypes = [ctypes.c_void_p, p32, i64]
     lib.mp_finalize.restype = i64

@@ -186,16 +186,22 @@ class NativePipeline:
         q = getattr(fused_fn, "bp_quantum", self.blk_l)
         if Bp % q:
             Bp = -(-Bp // q) * q
-        ql = np.zeros((qmax_l, Bp), np.int8)
-        tl = np.zeros((tmax_l, Bp), np.int8)
-        qr = np.zeros((qmax_r, Bp), np.int8)
-        tr = np.zeros((tmax_r, Bp), np.int8)
+        idx_mode = getattr(fused_fn, "idx", False)
         scal = np.zeros((16, Bp), np.int32)
-        self.lib.mp_fill_fused(
-            self.h, ql.ctypes.data_as(_PI8), qmax_l,
-            tl.ctypes.data_as(_PI8), tmax_l, qr.ctypes.data_as(_PI8),
-            qmax_r, tr.ctypes.data_as(_PI8), tmax_r,
-            scal.ctypes.data_as(_P32), Bp)
+        if idx_mode:
+            # resident-reference path: scalars only, no base payload
+            self.lib.mp_fill_fused_idx(
+                self.h, scal.ctypes.data_as(_P32), Bp)
+        else:
+            ql = np.zeros((qmax_l, Bp), np.int8)
+            tl = np.zeros((tmax_l, Bp), np.int8)
+            qr = np.zeros((qmax_r, Bp), np.int8)
+            tr = np.zeros((tmax_r, Bp), np.int8)
+            self.lib.mp_fill_fused(
+                self.h, ql.ctypes.data_as(_PI8), qmax_l,
+                tl.ctypes.data_as(_PI8), tmax_l, qr.ctypes.data_as(_PI8),
+                qmax_r, tr.ctypes.data_as(_PI8), tmax_r,
+                scal.ctypes.data_as(_P32), Bp)
         grid = Bp // self.blk_l
         tmax2 = np.zeros((grid, 2), np.int32)
         tmax2[:, 0] = np.max(
@@ -205,8 +211,22 @@ class NativePipeline:
             np.where(scal[5].reshape(grid, self.blk_l) > 0,
                      scal[6].reshape(grid, self.blk_l), 0), axis=1)
         t0 = time.time()
-        out = np.ascontiguousarray(
-            np.asarray(fused_fn(ql, tl, qr, tr, scal, tmax2)), np.int32)
+        if idx_mode:
+            # bucket the read-matrix shape so jit re-traces rarely
+            nr, L = self._reads_mat.shape
+            nb = _bucket(max(nr, 256),
+                         (256, 512, 1024, 2048, 4096, 8192, 16384))
+            Lb = _bucket(L)
+            reads_p = np.full((nb, Lb), 4, np.int8)
+            reads_p[:nr, :L] = self._reads_mat
+            out = np.ascontiguousarray(
+                np.asarray(fused_fn(reads_p, scal, tmax2,
+                                    (qmax_l, tmax_l, qmax_r, tmax_r))),
+                np.int32)
+        else:
+            out = np.ascontiguousarray(
+                np.asarray(fused_fn(ql, tl, qr, tr, scal, tmax2)),
+                np.int32)
         if self.tracer is not None:
             from bwamem_tpu.utils.metrics import band_cells
 
@@ -503,6 +523,87 @@ def make_fused_backend(params, blk_l: int = 512, interpret: bool = False):
     fused.fused = True
     fused.bp_quantum = blk_l
     return fused
+
+
+def two_strand_text(pac: np.ndarray) -> np.ndarray:
+    """The device-resident two-strand reference text T2 (int8 codes):
+    T2[p] = pac[p] for p < l_pac, else the strand fold of
+    pac[2*l_pac-1-p] — exactly csrc get_seq(), so every chain window
+    rseq[ci] == T2[rmax0:rmax1]."""
+    fwd = np.ascontiguousarray(pac, np.int8)
+    rev = fwd[::-1]
+    fold = np.where(rev < 4, 3 - rev, rev).astype(np.int8)
+    return np.concatenate([fwd, fold])
+
+
+def make_fused_idx_backend(params, pac, blk_l: int = 512,
+                           interpret: bool = False):
+    """Fused backend with a DEVICE-RESIDENT reference: the host ships
+    only per-lane scalars + the chunk's read matrix; query/target
+    windows are gathered on device from the resident two-strand text.
+
+    Rationale: the host↔device tunnel is the single-chip pipeline
+    bottleneck (measured ~30-50 MB/s H2D); the padded base payload of
+    mp_fill_fused is ~4 MB per 2048-read chunk vs ~0.6 MB of scalars +
+    reads here.  This is the TPU-native version of the reference's
+    4-bit payload packing (task_parse.v payload stream) taken to its
+    conclusion: the reference DMA-fetches every batch over QPI
+    (tbb.v line fetches); a TPU can instead keep the whole reference
+    in HBM and fetch nothing.
+
+    Requires 2*l_pac < 2^31 (int32 gather indices)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.extend_pallas import (
+        extend_batch_raw_fused,
+        params_vector,
+    )
+
+    prm = params_vector(params)
+    text = jax.device_put(two_strand_text(pac))
+    Tn = text.shape[0]
+
+    @functools.partial(
+        jax.jit, static_argnames=("qmax_l", "tmax_l", "qmax_r", "tmax_r"))
+    def fn(reads_mat, scal, tmax2, p, text, *, qmax_l, tmax_l, qmax_r,
+           tmax_r):
+        L = reads_mat.shape[1]
+        flat = reads_mat.reshape(-1)
+        ri = scal[10][None, :]
+
+        def q_gather(qmax, col_of):
+            j = jnp.arange(qmax, dtype=jnp.int32)[:, None]
+            col = jnp.clip(col_of(j), 0, L - 1)
+            return jnp.take(flat, ri * L + col, axis=0).astype(jnp.int32)
+
+        def t_gather(tmax, pos_of):
+            j = jnp.arange(tmax, dtype=jnp.int32)[:, None]
+            pos = jnp.clip(pos_of(j), 0, Tn - 1)
+            return jnp.take(text, pos, axis=0).astype(jnp.int32)
+
+        # left query = reversed read prefix; right = read suffix
+        ql = q_gather(qmax_l, lambda j: scal[0][None, :] - 1 - j)
+        qr = q_gather(qmax_r, lambda j: scal[11][None, :] + j)
+        # left target descends from row 12; right ascends from row 13
+        tl = t_gather(tmax_l, lambda j: scal[12][None, :] - j)
+        tr = t_gather(tmax_r, lambda j: scal[13][None, :] + j)
+        return extend_batch_raw_fused(ql, tl, qr, tr, scal, tmax2, p,
+                                      blk_l=blk_l, interpret=interpret)
+
+    def fused_idx(reads_mat, scal, tmax2, dims, prm_override=None):
+        qmax_l, tmax_l, qmax_r, tmax_r = dims
+        return fn(reads_mat, scal, tmax2,
+                  prm if prm_override is None else prm_override, text,
+                  qmax_l=qmax_l, tmax_l=tmax_l, qmax_r=qmax_r,
+                  tmax_r=tmax_r)
+
+    fused_idx.fused = True
+    fused_idx.idx = True
+    fused_idx.bp_quantum = blk_l
+    return fused_idx
 
 
 def make_jax_raw_t_backend(params):

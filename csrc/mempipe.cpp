@@ -1737,6 +1737,53 @@ void mp_fill_fused(void* h, int8_t* ql_t, int64_t qmax_l, int8_t* tl_t,
   }
 }
 
+// Indexed fill for the device-resident-reference fused path: ships NO
+// base payload at all.  Rows 0-9 are identical to mp_fill_fused; the
+// device gathers the windows itself from the resident two-strand text
+// and the chunk's read matrix via:
+//   row 10 = read index          (left query j  = read[qlen_l-1-j],
+//                                 right query j = read[row11 + j])
+//   row 11 = right-query offset  (= l_query - qlen_r)
+//   row 12 = left-target start   (= rmax0 + tlen_l - 1, descending)
+//   row 13 = right-target start  (= rmax0 + toff, ascending)
+// Callers must check 2*l_pac < 2^31 (int32 gather indices).  This is
+// the TPU answer to the reference's 4-bit payload packing
+// (task_parse.v payload stream): the host tunnel is the bottleneck,
+// so ship offsets, not bases.
+void mp_fill_fused_idx(void* h, int32_t* scal_t, int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  for (size_t slot = 0; slot < mp.fused.size(); ++slot) {
+    const auto& f = mp.fused[slot];
+    const auto& pr = mp.per[f.ri];
+    scal_t[3 * Bp + slot] = (int32_t)f.h0_seed;
+    scal_t[9 * Bp + slot] = (int32_t)o.w;
+    scal_t[10 * Bp + slot] = f.ri;
+    if (f.lt >= 0) {
+      const TaskC& t = pr.tasks[f.lt];
+      scal_t[0 * Bp + slot] = (int32_t)t.qlen;
+      scal_t[1 * Bp + slot] = (int32_t)t.tlen;
+      scal_t[2 * Bp + slot] =
+          (int32_t)std::min(o.w, std::min(t.max_ins, t.max_del));
+      scal_t[4 * Bp + slot] =
+          (int32_t)std::min(o.w << 1, std::min(t.max_ins, t.max_del));
+      scal_t[12 * Bp + slot] =
+          (int32_t)(pr.rmax0[t.ci] + t.tlen - 1);
+    }
+    if (f.rt >= 0) {
+      const TaskC& t = pr.tasks[f.rt];
+      scal_t[5 * Bp + slot] = (int32_t)t.qlen;
+      scal_t[6 * Bp + slot] = (int32_t)t.tlen;
+      scal_t[7 * Bp + slot] =
+          (int32_t)std::min(o.w, std::min(t.max_ins, t.max_del));
+      scal_t[8 * Bp + slot] =
+          (int32_t)std::min(o.w << 1, std::min(t.max_ins, t.max_del));
+      scal_t[11 * Bp + slot] = (int32_t)(mp.qlen[f.ri] - t.qlen);
+      scal_t[13 * Bp + slot] = (int32_t)(pr.rmax0[t.ci] + t.toff);
+    }
+  }
+}
+
 // Consume the fused kernel output res_t (32, Bp) int32: row groups
 // [L0 | L1 | R0 | R1] x [score, qle, tle, gtle, gscore, max_off, aw,
 // 0].  Stores res[0]/res[1] per task with exactly mp_pass_done's

@@ -381,6 +381,43 @@ def test_fused_pe_sam_identical(world):
         [[r.line() for r in x] for x in got]
 
 
+def test_fused_idx_sam_identical(world):
+    """The resident-reference fused path (mp_fill_fused_idx: scalars
+    only, device-side query/target window gathers from the two-strand
+    text) == the Python oracle SAM byte for byte."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    reads, names, quals = make_reads(rng, ref, 32)
+    row_fn, _ = _backends(opt)
+    fn = native_driver.make_fused_idx_backend(
+        _params(opt), ref.pac, blk_l=128, interpret=True)
+    want = align_batch(opt, ref, fm, reads, row_fn, names=names,
+                       quals=quals, po=po)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128)
+    got = pipe.align_chunk(reads, fn, names=names, quals=quals)
+    assert [[r.line() for r in rr] for rr in want] == \
+        [[r.line() for r in rr] for rr in got]
+
+
+def test_fused_idx_pe_sam_identical(world):
+    """Resident-reference fused path through the all-C++ PE pipeline
+    == the Python PE oracle."""
+    from bwamem_tpu.pipeline.pair import align_pairs
+
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 18)
+    row_fn, _ = _backends(opt)
+    fn = native_driver.make_fused_idx_backend(
+        _params(opt), ref.pac, blk_l=128, interpret=True)
+    want = align_pairs(opt, ref, fm, r1s, r2s, po=po,
+                       extend_batch_fn=row_fn)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128)
+    got = pipe.align_pairs_chunk(r1s, r2s, fn)
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
 def test_regions_match_compute_regions(world):
     """regions_chunk == the Python compute_regions pipeline (PE input)."""
     from bwamem_tpu.pipeline.align import compute_regions
