@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--host", default="auto",
                     choices=["auto", "native", "python"])
     ap.add_argument("-t", "--threads", type=int, default=1)
+    ap.add_argument("--inflight", type=int, default=2,
+                    help="chunks in flight with --overlap (pipeline "
+                         "depth; >2 overlaps device calls through the "
+                         "tunnel)")
     ap.add_argument("--overlap", action="store_true",
                     help="double-buffered chunk pipeline (2 handles)")
     ap.add_argument("--ship-ref", action="store_true",
@@ -187,7 +191,7 @@ def main():
                 tracer = Tracer(args.trace)
             pipes = [native_driver.NativePipeline(
                 opt, ref, fm, po, nthreads=args.threads, tracer=tracer)
-                for _ in range(2 if args.overlap else 1)]
+                for _ in range(args.inflight if args.overlap else 1)]
             print(f"[host] native pipeline, {args.threads} thread(s)"
                   f"{', overlapped' if args.overlap else ''}",
                   file=sys.stderr)
@@ -209,19 +213,19 @@ def main():
             chunk = reads[i:i + args.batch]
             if args.paired:
                 return len(chunk), ex.submit(
-                    pipes[ci % 2].align_pairs_chunk, chunk,
+                    pipes[ci % len(pipes)].align_pairs_chunk, chunk,
                     mates[i:i + args.batch], raw_t_fn,
                     rescue_fn=rescue_fn, cigar_fn=cigar_fn)
             return len(chunk), ex.submit(
-                pipes[ci % 2].align_chunk, chunk, raw_t_fn,
+                pipes[ci % len(pipes)].align_chunk, chunk, raw_t_fn,
                 cigar_fn=cigar_fn)
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        with ThreadPoolExecutor(max_workers=args.inflight) as ex:
             futs: deque = deque()
             tc = time.time()
             for ci, i in enumerate(range(0, len(reads), args.batch)):
                 futs.append(submit(ex, ci, i))
-                while len(futs) >= 2:
+                while len(futs) >= args.inflight:
                     nc, f = futs.popleft()
                     n_rec += sum(len(x) for x in f.result())
                     chunk_times.append((nc, time.time() - tc))

@@ -243,20 +243,24 @@ def cmd_mem(args) -> int:
                 sys.stderr.write(
                     f"[mem] processed {n_reads} reads\n")
     elif use_native:
-        # TBB-style double buffering: two pipeline handles, chunk n+1's
-        # host work (C++, GIL-free) overlaps chunk n's device phases
-        # (/root/reference/tbb.v:84-118 HOLD-while-fetch)
+        # TBB-style pipelining: --inflight pipeline handles; chunk
+        # n+1's host work (C++, GIL-free) overlaps chunk n's device
+        # phases (/root/reference/tbb.v:84-118 HOLD-while-fetch), and
+        # depths > 2 overlap device calls with each other through the
+        # tunnel (RPCs multiplex)
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        raw_t_fn = make_raw_t_backend(opt, args.backend, pac=ref.pac, ship_ref=args.ship_ref)
+        raw_t_fn = make_raw_t_backend(opt, args.backend, pac=ref.pac,
+                                      ship_ref=args.ship_ref)
+        depth = max(args.inflight, 1)
         pipes = [native_driver.NativePipeline(opt, ref, fm, po,
                                               nthreads=args.t,
                                               tracer=tracer)
-                 for _ in range(2)]
+                 for _ in range(depth)]
 
         def run_chunk(ci, chunk):
-            return pipes[ci % 2].align_chunk(
+            return pipes[ci % len(pipes)].align_chunk(
                 [r.seq.astype(np.int64) for r in chunk], raw_t_fn,
                 names=[r.name for r in chunk],
                 quals=[r.qual for r in chunk], cigar_fn=cigar_fn)
@@ -274,7 +278,7 @@ def cmd_mem(args) -> int:
             if args.v >= 3:
                 sys.stderr.write(f"[mem] processed {n_reads} reads\n")
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        with ThreadPoolExecutor(max_workers=depth) as ex:
             futs: deque = deque()
             submitted = 0
             for chunk in chunks:
@@ -290,7 +294,7 @@ def cmd_mem(args) -> int:
                              else None,
                              ex.submit(run_chunk, submitted, chunk)))
                 submitted += 1
-                while len(futs) >= 2:
+                while len(futs) >= depth:
                     flush_one(futs)
             while futs:
                 flush_one(futs)
@@ -402,6 +406,9 @@ def main(argv=None) -> int:
     mem.add_argument("--resume", default=None, metavar="MANIFEST.jsonl",
                      help="checkpoint manifest: completed chunks are "
                           "skipped, finished chunks appended")
+    mem.add_argument("--inflight", type=int, default=3,
+                     help="chunks in flight (pipeline depth; >2 "
+                          "overlaps device calls with each other)")
     mem.add_argument("--ship-ref", action="store_true",
                      help="ship target windows from the host instead "
                           "of gathering from the device-resident "

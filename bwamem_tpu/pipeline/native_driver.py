@@ -212,15 +212,18 @@ class NativePipeline:
                      scal[6].reshape(grid, self.blk_l), 0), axis=1)
         t0 = time.time()
         if idx_mode:
-            # bucket the read-matrix shape so jit re-traces rarely
+            # bucket the read-matrix shape so jit re-traces rarely,
+            # and nibble-pack it (two base codes per byte)
             nr, L = self._reads_mat.shape
             nb = _bucket(max(nr, 256),
                          (256, 512, 1024, 2048, 4096, 8192, 16384))
             Lb = _bucket(L)
-            reads_p = np.full((nb, Lb), 4, np.int8)
+            reads_p = np.full((nb, Lb), 4, np.uint8)
             reads_p[:nr, :L] = self._reads_mat
+            reads_nib = (reads_p[:, 0::2]
+                         | (reads_p[:, 1::2] << 4)).astype(np.int8)
             out = np.ascontiguousarray(
-                np.asarray(fused_fn(reads_p, scal, tmax2,
+                np.asarray(fused_fn(reads_nib, scal, tmax2,
                                     (qmax_l, tmax_l, qmax_r, tmax_r))),
                 np.int32)
         else:
@@ -536,6 +539,50 @@ def two_strand_text(pac: np.ndarray) -> np.ndarray:
     return np.concatenate([fwd, fold])
 
 
+def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
+                    tmax_l, qmax_r, tmax_r, blk_l, interpret, a_max):
+    """Traceable body of the resident-reference fused step: gather the
+    query windows from the nibble-packed read matrix and the target
+    windows from the two-strand text, then run the fused kernel.
+    Shared by the single-chip backend and the mesh-sharded one (where
+    text/reads replicate and the lane axis shards)."""
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.extend_pallas import extend_batch_raw_fused
+
+    L2 = reads_nib.shape[1]
+    Tn = text.shape[0]
+    flat = reads_nib.reshape(-1)
+    ri = scal[10][None, :]
+
+    def q_gather(qmax, col_of):
+        j = jnp.arange(qmax, dtype=jnp.int32)[:, None]
+        col = jnp.clip(col_of(j), 0, 2 * L2 - 1)
+        b = jnp.take(flat, ri * L2 + (col >> 1), axis=0)
+        b = b.astype(jnp.int32) & 0xFF
+        return jnp.where((col & 1) == 1, b >> 4, b & 0xF)
+
+    def t_gather(tmax, pos_of):
+        j = jnp.arange(tmax, dtype=jnp.int32)[:, None]
+        pos = jnp.clip(pos_of(j), 0, Tn - 1)
+        return jnp.take(text, pos, axis=0).astype(jnp.int32)
+
+    # left query = reversed read prefix; right = read suffix
+    ql = q_gather(qmax_l, lambda j: scal[0][None, :] - 1 - j)
+    qr = q_gather(qmax_r, lambda j: scal[11][None, :] + j)
+    # left target descends from row 12; right ascends from row 13
+    tl = t_gather(tmax_l, lambda j: scal[12][None, :] - j)
+    tr = t_gather(tmax_r, lambda j: scal[13][None, :] + j)
+    out = extend_batch_raw_fused(ql, tl, qr, tr, scal, tmax2, prm,
+                                 blk_l=blk_l, interpret=interpret)
+    # result fields fit int16 whenever the score bound a*l_query does
+    # (tlen is hardware-capped at 2047): half the D2H.  The gate is
+    # static at trace time, so exotic scoring keeps the int32 path.
+    if a_max * 2 * L2 < 32000:
+        out = out.astype(jnp.int16)
+    return out
+
+
 def make_fused_idx_backend(params, pac, blk_l: int = 512,
                            interpret: bool = False):
     """Fused backend with a DEVICE-RESIDENT reference: the host ships
@@ -563,35 +610,21 @@ def make_fused_idx_backend(params, pac, blk_l: int = 512,
     )
 
     prm = params_vector(params)
+    a_max = int(np.max(np.asarray(params.mat_flat)))
     text = jax.device_put(two_strand_text(pac))
     Tn = text.shape[0]
 
     @functools.partial(
         jax.jit, static_argnames=("qmax_l", "tmax_l", "qmax_r", "tmax_r"))
-    def fn(reads_mat, scal, tmax2, p, text, *, qmax_l, tmax_l, qmax_r,
+    def fn(reads_nib, scal, tmax2, p, text, *, qmax_l, tmax_l, qmax_r,
            tmax_r):
-        L = reads_mat.shape[1]
-        flat = reads_mat.reshape(-1)
-        ri = scal[10][None, :]
-
-        def q_gather(qmax, col_of):
-            j = jnp.arange(qmax, dtype=jnp.int32)[:, None]
-            col = jnp.clip(col_of(j), 0, L - 1)
-            return jnp.take(flat, ri * L + col, axis=0).astype(jnp.int32)
-
-        def t_gather(tmax, pos_of):
-            j = jnp.arange(tmax, dtype=jnp.int32)[:, None]
-            pos = jnp.clip(pos_of(j), 0, Tn - 1)
-            return jnp.take(text, pos, axis=0).astype(jnp.int32)
-
-        # left query = reversed read prefix; right = read suffix
-        ql = q_gather(qmax_l, lambda j: scal[0][None, :] - 1 - j)
-        qr = q_gather(qmax_r, lambda j: scal[11][None, :] + j)
-        # left target descends from row 12; right ascends from row 13
-        tl = t_gather(tmax_l, lambda j: scal[12][None, :] - j)
-        tr = t_gather(tmax_r, lambda j: scal[13][None, :] + j)
-        return extend_batch_raw_fused(ql, tl, qr, tr, scal, tmax2, p,
-                                      blk_l=blk_l, interpret=interpret)
+        # reads arrive nibble-packed (two base codes per byte, low
+        # nibble first) — half the H2D bytes of the dominant transfer
+        return fused_idx_local(reads_nib, scal, tmax2, p, text,
+                               qmax_l=qmax_l, tmax_l=tmax_l,
+                               qmax_r=qmax_r, tmax_r=tmax_r,
+                               blk_l=blk_l, interpret=interpret,
+                               a_max=a_max)
 
     def fused_idx(reads_mat, scal, tmax2, dims, prm_override=None):
         qmax_l, tmax_l, qmax_r, tmax_r = dims
