@@ -121,6 +121,66 @@ def make_sharded_fused_backend(mesh: Mesh, params: ExtendParams, *,
     return fused
 
 
+def make_sharded_fused_idx_backend(mesh: Mesh, params: ExtendParams,
+                                   pac, *, blk_l: int = 512,
+                                   interpret: bool = False):
+    """Mesh-sharded resident-reference fused backend: the two-strand
+    text and the chunk read matrix REPLICATE across the mesh (every
+    chip holds the index — the reference replicates the genome into
+    each PE array's host workspace the same way), while the per-lane
+    scalar block shards on the lane axis; each shard gathers its own
+    query/target windows locally, so no base payload crosses the host
+    link and no collective crosses chips.  Same call contract as
+    native_driver.make_fused_idx_backend."""
+    import functools
+
+    from bwamem_tpu.ops.extend_pallas import params_vector
+    from bwamem_tpu.pipeline.native_driver import (
+        fused_idx_local,
+        two_strand_text,
+    )
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    prm = params_vector(params)
+    a_max = int(np.max(np.asarray(params.mat_flat)))
+    text = jax.device_put(
+        two_strand_text(pac), NamedSharding(mesh, P()))
+
+    @functools.partial(
+        jax.jit, static_argnames=("qmax_l", "tmax_l", "qmax_r", "tmax_r"))
+    def fn(reads_nib, scal, tmax2, p, text, *, qmax_l, tmax_l, qmax_r,
+           tmax_r):
+        local = functools.partial(
+            fused_idx_local, qmax_l=qmax_l, tmax_l=tmax_l,
+            qmax_r=qmax_r, tmax_r=tmax_r, blk_l=blk_l,
+            interpret=interpret, a_max=a_max)
+        return jax.shard_map(
+            lambda r, s, t2, pp, tx: local(r, s, t2, pp, tx),
+            mesh=mesh,
+            in_specs=(P(None, None), P(None, axis), P(axis), P(None),
+                      P(None)),
+            out_specs=P(None, axis),
+            # plain batch-dim data parallelism; same vma rationale as
+            # make_sharded_raw_t_backend
+            check_vma=False,
+        )(reads_nib, scal, tmax2, p, text)
+
+    def fused_idx(reads_nib, scal, tmax2, dims, prm_override=None):
+        Bp = scal.shape[1]
+        assert Bp % (blk_l * n_dev) == 0, (Bp, blk_l, n_dev)
+        qmax_l, tmax_l, qmax_r, tmax_r = dims
+        return fn(reads_nib, scal, tmax2,
+                  prm if prm_override is None else prm_override, text,
+                  qmax_l=qmax_l, tmax_l=tmax_l, qmax_r=qmax_r,
+                  tmax_r=tmax_r)
+
+    fused_idx.fused = True
+    fused_idx.idx = True
+    fused_idx.bp_quantum = blk_l * n_dev
+    return fused_idx
+
+
 def make_sharded_global_batch(mesh: Mesh, *, qmax: int, tmax: int):
     """Data-parallel device CIGAR (ops/global_jax._global_batch): the
     batched banded global alignment + on-device traceback with the

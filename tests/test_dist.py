@@ -104,6 +104,18 @@ got_fused = [[r.line() for r in rr]
 assert want_sam == got_fused, "SAM mismatch: sharded fused protocol"
 print("e2e sharded fused SAM == single-device SAM: ok")
 
+# 3b) the resident-reference fused protocol through the mesh (text
+# and read matrix replicated, scalar block sharded on lanes)
+from bwamem_tpu.parallel.dist import make_sharded_fused_idx_backend
+
+sharded_idx = make_sharded_fused_idx_backend(mesh, params, ref.pac,
+                                             blk_l=BLK, interpret=True)
+pipe8i = native_driver.NativePipeline(opt, ref, fm, po, blk_l=BLK)
+got_idx = [[r.line() for r in rr]
+           for rr in pipe8i.align_chunk(reads, sharded_idx)]
+assert want_sam == got_idx, "SAM mismatch: sharded fused_idx protocol"
+print("e2e sharded fused_idx SAM == single-device SAM: ok")
+
 # 4) device CIGAR (batched global align + traceback) through the mesh
 from bwamem_tpu.ops.global_jax import _global_batch
 from bwamem_tpu.parallel.dist import make_sharded_global_batch
@@ -184,6 +196,7 @@ def test_sharded_extension_8dev_cpu_mesh():
     assert r.returncode == 0, r.stdout + "\n" + r.stderr
     assert "e2e sharded SAM == single-device SAM: ok" in r.stdout
     assert "e2e sharded fused SAM == single-device SAM: ok" in r.stdout
+    assert "e2e sharded fused_idx SAM == single-device SAM: ok" in r.stdout
     assert "sharded device CIGAR == unsharded: ok" in r.stdout
     assert "sharded device rescue == unsharded: ok" in r.stdout
     assert "e2e sharded PE SAM == single-device PE SAM: ok" in r.stdout
