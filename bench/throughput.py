@@ -178,7 +178,7 @@ def main():
                 raw_t_fn = native_driver.make_jax_raw_t_backend(params)
             elif args.phased:
                 raw_t_fn = native_driver.make_raw_t_backend(params)
-            elif args.ship_ref or 2 * len(ref.pac) >= 1 << 31:
+            elif args.ship_ref:
                 # fused whole-alignment kernel: 1 round trip/chunk
                 raw_t_fn = native_driver.make_fused_backend(params)
             else:  # + device-resident reference: scalars-only H2D

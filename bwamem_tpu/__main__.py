@@ -102,7 +102,7 @@ def make_raw_t_backend(opt, backend: str, pac=None, ship_ref=False):
     params = _extend_params(opt)
     if backend == "jax":
         return native_driver.make_jax_raw_t_backend(params)
-    if pac is not None and not ship_ref and 2 * len(pac) < 1 << 31:
+    if pac is not None and not ship_ref:
         # fused kernel + device-resident reference: one round trip per
         # chunk and scalars-only H2D (the tunnel is the bottleneck)
         return native_driver.make_fused_idx_backend(params, pac)

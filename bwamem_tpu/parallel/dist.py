@@ -144,8 +144,9 @@ def make_sharded_fused_idx_backend(mesh: Mesh, params: ExtendParams,
     n_dev = int(mesh.devices.size)
     prm = params_vector(params)
     a_max = int(np.max(np.asarray(params.mat_flat)))
+    two_d = 2 * len(pac) >= 1 << 31
     text = jax.device_put(
-        two_strand_text(pac), NamedSharding(mesh, P()))
+        two_strand_text(pac, two_d=two_d), NamedSharding(mesh, P()))
 
     @functools.partial(
         jax.jit, static_argnames=("qmax_l", "tmax_l", "qmax_r", "tmax_r"))
@@ -159,7 +160,7 @@ def make_sharded_fused_idx_backend(mesh: Mesh, params: ExtendParams,
             lambda r, s, t2, pp, tx: local(r, s, t2, pp, tx),
             mesh=mesh,
             in_specs=(P(None, None), P(None, axis), P(axis), P(None),
-                      P(None)),
+                      P(*([None] * text.ndim))),
             out_specs=P(None, axis),
             # plain batch-dim data parallelism; same vma rationale as
             # make_sharded_raw_t_backend

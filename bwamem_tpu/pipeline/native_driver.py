@@ -528,15 +528,26 @@ def make_fused_backend(params, blk_l: int = 512, interpret: bool = False):
     return fused
 
 
-def two_strand_text(pac: np.ndarray) -> np.ndarray:
+def two_strand_text(pac: np.ndarray, two_d: bool = False) -> np.ndarray:
     """The device-resident two-strand reference text T2 (int8 codes):
     T2[p] = pac[p] for p < l_pac, else the strand fold of
     pac[2*l_pac-1-p] — exactly csrc get_seq(), so every chain window
-    rseq[ci] == T2[rmax0:rmax1]."""
+    rseq[ci] == T2[rmax0:rmax1].
+
+    `two_d=True` reshapes to (rows, 2^20) (padded with N) so positions
+    beyond 2^31 stay addressable with int32 (row, col) pairs — the
+    GRCh38-scale layout."""
     fwd = np.ascontiguousarray(pac, np.int8)
     rev = fwd[::-1]
     fold = np.where(rev < 4, 3 - rev, rev).astype(np.int8)
-    return np.concatenate([fwd, fold])
+    t2 = np.concatenate([fwd, fold])
+    if not two_d:
+        return t2
+    rows = -(-t2.shape[0] // (1 << 20))
+    pad = rows * (1 << 20) - t2.shape[0]
+    if pad:
+        t2 = np.concatenate([t2, np.full(pad, 4, np.int8)])
+    return t2.reshape(rows, 1 << 20)
 
 
 def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
@@ -545,13 +556,17 @@ def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
     query windows from the nibble-packed read matrix and the target
     windows from the two-strand text, then run the fused kernel.
     Shared by the single-chip backend and the mesh-sharded one (where
-    text/reads replicate and the lane axis shards)."""
+    text/reads replicate and the lane axis shards).
+
+    Target starts arrive as (lo20, hi) int32 pairs (scal rows 12-15).
+    `text` is either flat (Tn,) int8 — references under 2^31 symbols,
+    single int32 gather index — or (rows, 2^20) int8 for GRCh38-scale
+    references, addressed as text[hi + (lo>>20), lo & 0xFFFFF]."""
     import jax.numpy as jnp
 
     from bwamem_tpu.ops.extend_pallas import extend_batch_raw_fused
 
     L2 = reads_nib.shape[1]
-    Tn = text.shape[0]
     flat = reads_nib.reshape(-1)
     ri = scal[10][None, :]
 
@@ -562,17 +577,24 @@ def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
         b = b.astype(jnp.int32) & 0xFF
         return jnp.where((col & 1) == 1, b >> 4, b & 0xF)
 
-    def t_gather(tmax, pos_of):
+    def t_gather(tmax, lo_row, hi_row, sign):
         j = jnp.arange(tmax, dtype=jnp.int32)[:, None]
-        pos = jnp.clip(pos_of(j), 0, Tn - 1)
-        return jnp.take(text, pos, axis=0).astype(jnp.int32)
+        lo = scal[lo_row][None, :] + sign * j
+        hi = scal[hi_row][None, :]
+        if text.ndim == 1:
+            pos = jnp.clip((hi << 20) + lo, 0, text.shape[0] - 1)
+            return jnp.take(text, pos, axis=0).astype(jnp.int32)
+        # 2D mode: arithmetic >> floors negatives, & takes the
+        # positive residue, so borrow/carry propagate into the row
+        row = jnp.clip(hi + (lo >> 20), 0, text.shape[0] - 1)
+        return text[row, lo & 0xFFFFF].astype(jnp.int32)
 
     # left query = reversed read prefix; right = read suffix
     ql = q_gather(qmax_l, lambda j: scal[0][None, :] - 1 - j)
     qr = q_gather(qmax_r, lambda j: scal[11][None, :] + j)
-    # left target descends from row 12; right ascends from row 13
-    tl = t_gather(tmax_l, lambda j: scal[12][None, :] - j)
-    tr = t_gather(tmax_r, lambda j: scal[13][None, :] + j)
+    # left target descends from rows 12/14; right ascends from 13/15
+    tl = t_gather(tmax_l, 12, 14, -1)
+    tr = t_gather(tmax_r, 13, 15, +1)
     out = extend_batch_raw_fused(ql, tl, qr, tr, scal, tmax2, prm,
                                  blk_l=blk_l, interpret=interpret)
     # result fields fit int16 whenever the score bound a*l_query does
@@ -584,7 +606,8 @@ def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
 
 
 def make_fused_idx_backend(params, pac, blk_l: int = 512,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           force_2d: bool = False):
     """Fused backend with a DEVICE-RESIDENT reference: the host ships
     only per-lane scalars + the chunk's read matrix; query/target
     windows are gathered on device from the resident two-strand text.
@@ -598,21 +621,19 @@ def make_fused_idx_backend(params, pac, blk_l: int = 512,
     (tbb.v line fetches); a TPU can instead keep the whole reference
     in HBM and fetch nothing.
 
-    Requires 2*l_pac < 2^31 (int32 gather indices)."""
+    References beyond 2^31 two-strand symbols (GRCh38 scale) switch to
+    the (rows, 2^20) text layout addressed by int32 (row, col) pairs;
+    `force_2d` selects it explicitly for testing."""
     import functools
 
     import jax
-    import jax.numpy as jnp
 
-    from bwamem_tpu.ops.extend_pallas import (
-        extend_batch_raw_fused,
-        params_vector,
-    )
+    from bwamem_tpu.ops.extend_pallas import params_vector
 
     prm = params_vector(params)
     a_max = int(np.max(np.asarray(params.mat_flat)))
-    text = jax.device_put(two_strand_text(pac))
-    Tn = text.shape[0]
+    two_d = force_2d or 2 * len(pac) >= 1 << 31
+    text = jax.device_put(two_strand_text(pac, two_d=two_d))
 
     @functools.partial(
         jax.jit, static_argnames=("qmax_l", "tmax_l", "qmax_r", "tmax_r"))

@@ -1744,10 +1744,13 @@ void mp_fill_fused(void* h, int8_t* ql_t, int64_t qmax_l, int8_t* tl_t,
 //   row 10 = read index          (left query j  = read[qlen_l-1-j],
 //                                 right query j = read[row11 + j])
 //   row 11 = right-query offset  (= l_query - qlen_r)
-//   row 12 = left-target start   (= rmax0 + tlen_l - 1, descending)
-//   row 13 = right-target start  (= rmax0 + toff, ascending)
-// Callers must check 2*l_pac < 2^31 (int32 gather indices).  This is
-// the TPU answer to the reference's 4-bit payload packing
+//   rows 12/13 = left/right target start, LOW 20 bits
+//   rows 14/15 = left/right target start >> 20
+// (left start = rmax0 + tlen_l - 1, descending; right = rmax0 + toff,
+// ascending.  The hi/lo split keeps int32 lanes exact for references
+// beyond 2^31 two-strand symbols — GRCh38 scale; the device either
+// reconstructs a flat index or addresses a (rows, 2^20) text.)  This
+// is the TPU answer to the reference's 4-bit payload packing
 // (task_parse.v payload stream): the host tunnel is the bottleneck,
 // so ship offsets, not bases.
 void mp_fill_fused_idx(void* h, int32_t* scal_t, int64_t Bp) {
@@ -1767,8 +1770,9 @@ void mp_fill_fused_idx(void* h, int32_t* scal_t, int64_t Bp) {
           (int32_t)std::min(o.w, std::min(t.max_ins, t.max_del));
       scal_t[4 * Bp + slot] =
           (int32_t)std::min(o.w << 1, std::min(t.max_ins, t.max_del));
-      scal_t[12 * Bp + slot] =
-          (int32_t)(pr.rmax0[t.ci] + t.tlen - 1);
+      int64_t st = pr.rmax0[t.ci] + t.tlen - 1;
+      scal_t[12 * Bp + slot] = (int32_t)(st & 0xFFFFF);
+      scal_t[14 * Bp + slot] = (int32_t)(st >> 20);
     }
     if (f.rt >= 0) {
       const TaskC& t = pr.tasks[f.rt];
@@ -1779,7 +1783,9 @@ void mp_fill_fused_idx(void* h, int32_t* scal_t, int64_t Bp) {
       scal_t[8 * Bp + slot] =
           (int32_t)std::min(o.w << 1, std::min(t.max_ins, t.max_del));
       scal_t[11 * Bp + slot] = (int32_t)(mp.qlen[f.ri] - t.qlen);
-      scal_t[13 * Bp + slot] = (int32_t)(pr.rmax0[t.ci] + t.toff);
+      int64_t st = pr.rmax0[t.ci] + t.toff;
+      scal_t[13 * Bp + slot] = (int32_t)(st & 0xFFFFF);
+      scal_t[15 * Bp + slot] = (int32_t)(st >> 20);
     }
   }
 }

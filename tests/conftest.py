@@ -15,6 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon remote-compile service hooks EVERY XLA compile (CPU
+# included) when these are set; if the device relay is down, the first
+# jit in any test — or any CLI subprocess a test spawns — hangs
+# forever.  Tests are CPU-only by design, so compile locally and stay
+# hermetic against relay outages (subprocesses inherit the cleared
+# env).
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 import jax
 
 try:

@@ -399,6 +399,24 @@ def test_fused_idx_sam_identical(world):
         [[r.line() for r in rr] for rr in got]
 
 
+def test_fused_idx_2d_text_sam_identical(world):
+    """The GRCh38-scale (rows, 2^20) text layout — int32 (row, col)
+    addressing with borrow/carry across rows — produces the same SAM
+    as the oracle on a small genome when forced on."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    reads, names, quals = make_reads(rng, ref, 24)
+    row_fn, _ = _backends(opt)
+    fn = native_driver.make_fused_idx_backend(
+        _params(opt), ref.pac, blk_l=128, interpret=True, force_2d=True)
+    want = align_batch(opt, ref, fm, reads, row_fn, names=names,
+                       quals=quals, po=po)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128)
+    got = pipe.align_chunk(reads, fn, names=names, quals=quals)
+    assert [[r.line() for r in rr] for rr in want] == \
+        [[r.line() for r in rr] for rr in got]
+
+
 def test_fused_idx_pe_sam_identical(world):
     """Resident-reference fused path through the all-C++ PE pipeline
     == the Python PE oracle."""
