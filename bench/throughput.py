@@ -150,15 +150,26 @@ def main():
     raw_t_fn = None
     rescue_fn = None
     pipes = []
+    # one resident two-strand text shared by every idx backend
+    text_dev = (native_driver.make_resident_text(ref.pac)
+                if use_native and not args.ship_ref else None)
     if args.device_rescue:
-        from bwamem_tpu.ops.local_jax import make_rescue_backend
+        if args.ship_ref or text_dev is None:
+            from bwamem_tpu.ops.local_jax import make_rescue_backend
 
-        rescue_fn = make_rescue_backend()
+            rescue_fn = make_rescue_backend()
+        else:  # resident-reference waves: meta-only H2D
+            rescue_fn = native_driver.make_rescue_idx_backend(
+                text_dev=text_dev)
     cigar_fn = None
     if args.device_cigar:
-        from bwamem_tpu.ops.global_jax import make_cigar_backend
+        if args.ship_ref or text_dev is None:
+            from bwamem_tpu.ops.global_jax import make_cigar_backend
 
-        cigar_fn = make_cigar_backend()
+            cigar_fn = make_cigar_backend()
+        else:  # resident-reference rounds: meta-only H2D
+            cigar_fn = native_driver.make_cigar_idx_backend(
+                text_dev=text_dev)
     if args.backend != "scalar":
         import jax
 
@@ -183,7 +194,7 @@ def main():
                 raw_t_fn = native_driver.make_fused_backend(params)
             else:  # + device-resident reference: scalars-only H2D
                 raw_t_fn = native_driver.make_fused_idx_backend(
-                    params, ref.pac)
+                    params, ref.pac, text_dev=text_dev)
             tracer = None
             if args.trace:
                 from bwamem_tpu.utils.metrics import Tracer

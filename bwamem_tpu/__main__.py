@@ -92,7 +92,8 @@ def make_extend_backend(opt, backend: str):
     return extend_pallas.make_raw_backend(params)
 
 
-def make_raw_t_backend(opt, backend: str, pac=None, ship_ref=False):
+def make_raw_t_backend(opt, backend: str, pac=None, ship_ref=False,
+                       text_dev=None):
     """Transposed-layout device backend for the native host pipeline."""
     from bwamem_tpu.utils.jaxcfg import enable_compilation_cache
 
@@ -105,7 +106,8 @@ def make_raw_t_backend(opt, backend: str, pac=None, ship_ref=False):
     if pac is not None and not ship_ref:
         # fused kernel + device-resident reference: one round trip per
         # chunk and scalars-only H2D (the tunnel is the bottleneck)
-        return native_driver.make_fused_idx_backend(params, pac)
+        return native_driver.make_fused_idx_backend(params, pac,
+                                                    text_dev=text_dev)
     # fused whole-alignment kernel: one device round trip per chunk
     return native_driver.make_fused_backend(params)
 
@@ -182,24 +184,37 @@ def cmd_mem(args) -> int:
     if args.device_cigar and args.backend == "scalar":
         sys.stderr.write("[mem] --device-cigar needs a device backend; "
                          "ignored here\n")
+    # one resident two-strand text shared by every idx backend
+    text_dev = (native_driver.make_resident_text(ref.pac)
+                if use_native and not args.ship_ref else None)
     cigar_fn = None
     if (args.device_cigar and use_native and args.backend != "scalar"):
-        from bwamem_tpu.ops.global_jax import make_cigar_backend
+        if args.ship_ref:
+            from bwamem_tpu.ops.global_jax import make_cigar_backend
 
-        cigar_fn = make_cigar_backend()
+            cigar_fn = make_cigar_backend()
+        else:  # resident-reference rounds: meta-only H2D
+            cigar_fn = native_driver.make_cigar_idx_backend(
+                text_dev=text_dev)
     rescue_fn = None
     if args.device_rescue:
         if pair_iter is None or not use_native:
             sys.stderr.write("[mem] --device-rescue applies to the "
                              "native PE path; ignored here\n")
-        else:
+        elif args.ship_ref:
             from bwamem_tpu.ops.local_jax import make_rescue_backend
 
             rescue_fn = make_rescue_backend()
+        else:  # resident-reference waves: meta-only H2D
+            rescue_fn = native_driver.make_rescue_idx_backend(
+                text_dev=text_dev)
     if pair_iter is not None:
         if use_native:
             # full PE chunk in C++: pestat, mate rescue, pairing, sam_pe
-            raw_t_fn = make_raw_t_backend(opt, args.backend, pac=ref.pac, ship_ref=args.ship_ref)
+            raw_t_fn = make_raw_t_backend(opt, args.backend,
+                                          pac=ref.pac,
+                                          ship_ref=args.ship_ref,
+                                          text_dev=text_dev)
             pipe = native_driver.NativePipeline(opt, ref, fm, po,
                                                 nthreads=args.t,
                                                 tracer=tracer)
@@ -252,7 +267,8 @@ def cmd_mem(args) -> int:
         from concurrent.futures import ThreadPoolExecutor
 
         raw_t_fn = make_raw_t_backend(opt, args.backend, pac=ref.pac,
-                                      ship_ref=args.ship_ref)
+                                      ship_ref=args.ship_ref,
+                                      text_dev=text_dev)
         depth = max(args.inflight, 1)
         pipes = [native_driver.NativePipeline(opt, ref, fm, po,
                                               nthreads=args.t,

@@ -283,6 +283,8 @@ def _bind_mempipe(lib):
     lib.mp_rescue_fill.restype = None
     lib.mp_rescue_fill.argtypes = [ctypes.c_void_p, pi8, i64, pi8, i64,
                                    p32, i64]
+    lib.mp_rescue_fill_idx.restype = None
+    lib.mp_rescue_fill_idx.argtypes = [ctypes.c_void_p, p32, i64]
     lib.mp_rescue_apply.restype = None
     lib.mp_rescue_apply.argtypes = [ctypes.c_void_p, p32, i64]
     lib.mp_finalize_pe_tail.restype = i64
@@ -295,6 +297,8 @@ def _bind_mempipe(lib):
     lib.mp_cigar_fill.restype = None
     lib.mp_cigar_fill.argtypes = [ctypes.c_void_p, pi8, i64, pi8, i64,
                                   p32, i64]
+    lib.mp_cigar_fill_idx.restype = None
+    lib.mp_cigar_fill_idx.argtypes = [ctypes.c_void_p, p32, i64]
     lib.mp_cigar_apply.restype = i64
     lib.mp_cigar_apply.argtypes = [ctypes.c_void_p, p32, p32, p32, i64]
     lib.mp_finalize_records.restype = i64

@@ -105,12 +105,30 @@ class NativePipeline:
             mat[i, :len(r)] = r
             qlen[i] = len(r)
         self._reads_mat = mat  # keep alive: C++ keeps pointers
+        self._reads_nib = None  # lazy per-chunk nibble-packed copy
         self._qlen = qlen
         rc = self.lib.mp_chunk_start(
             self.h, mat.ctypes.data_as(_P8), qlen.ctypes.data_as(_P64),
             n, L, self.nthreads)
         if rc != 0:
             raise RuntimeError("mp_chunk_start failed")
+
+    def _nib_reads(self):
+        """The chunk's read matrix nibble-packed (two base codes per
+        byte), shape-bucketed so jit re-traces rarely; built once per
+        chunk and shared by every resident-reference device protocol
+        (fused extension, rescue waves, CIGAR rounds)."""
+        if self._reads_nib is not None:
+            return self._reads_nib
+        nr, L = self._reads_mat.shape
+        nb = _bucket(max(nr, 256),
+                     (256, 512, 1024, 2048, 4096, 8192, 16384))
+        Lb = _bucket(L)
+        reads_p = np.full((nb, Lb), 4, np.uint8)
+        reads_p[:nr, :L] = self._reads_mat
+        self._reads_nib = (reads_p[:, 0::2]
+                           | (reads_p[:, 1::2] << 4)).astype(np.int8)
+        return self._reads_nib
 
     def _run_phase(self, raw_t_fn, label: str = ""):
         """Pass k=0 over the current task list, then the compacted k=1
@@ -212,18 +230,8 @@ class NativePipeline:
                      scal[6].reshape(grid, self.blk_l), 0), axis=1)
         t0 = time.time()
         if idx_mode:
-            # bucket the read-matrix shape so jit re-traces rarely,
-            # and nibble-pack it (two base codes per byte)
-            nr, L = self._reads_mat.shape
-            nb = _bucket(max(nr, 256),
-                         (256, 512, 1024, 2048, 4096, 8192, 16384))
-            Lb = _bucket(L)
-            reads_p = np.full((nb, Lb), 4, np.uint8)
-            reads_p[:nr, :L] = self._reads_mat
-            reads_nib = (reads_p[:, 0::2]
-                         | (reads_p[:, 1::2] << 4)).astype(np.int8)
             out = np.ascontiguousarray(
-                np.asarray(fused_fn(reads_nib, scal, tmax2,
+                np.asarray(fused_fn(self._nib_reads(), scal, tmax2,
                                     (qmax_l, tmax_l, qmax_r, tmax_r))),
                 np.int32)
         else:
@@ -300,16 +308,27 @@ class NativePipeline:
             lt = _bucket(max(int(mt.value), 1))
             Bp = _bucket(max(n_active, 256),
                          (256, 512, 1024, 2048, 4096, 8192, 16384))
-            q = np.zeros((Bp, lq), np.int8)
-            t = np.zeros((Bp, lt), np.int8)
-            meta = np.zeros((3, Bp), np.int32)
-            self.lib.mp_cigar_fill(
-                self.h, q.ctypes.data_as(_PI8), lq,
-                t.ctypes.data_as(_PI8), lt,
-                meta.ctypes.data_as(_P32), Bp)
             t0 = time.time()
-            scores, ncig, flat = cigar_fn(q, t, meta, o.mat, o.o_del,
-                                          o.e_del, o.o_ins, o.e_ins)
+            if getattr(cigar_fn, "idx", False):
+                # resident-reference rounds: meta only, segments
+                # gathered on device
+                meta = np.zeros((8, Bp), np.int32)
+                self.lib.mp_cigar_fill_idx(
+                    self.h, meta.ctypes.data_as(_P32), Bp)
+                scores, ncig, flat = cigar_fn(
+                    self._nib_reads(), meta, o.mat, o.o_del, o.e_del,
+                    o.o_ins, o.e_ins, lq, lt)
+            else:
+                q = np.zeros((Bp, lq), np.int8)
+                t = np.zeros((Bp, lt), np.int8)
+                meta = np.zeros((3, Bp), np.int32)
+                self.lib.mp_cigar_fill(
+                    self.h, q.ctypes.data_as(_PI8), lq,
+                    t.ctypes.data_as(_PI8), lt,
+                    meta.ctypes.data_as(_P32), Bp)
+                scores, ncig, flat = cigar_fn(q, t, meta, o.mat,
+                                              o.o_del, o.e_del,
+                                              o.o_ins, o.e_ins)
             scores = np.ascontiguousarray(scores, np.int32)
             ncig = np.ascontiguousarray(ncig, np.int32)
             flat = np.ascontiguousarray(flat, np.int32)
@@ -392,17 +411,28 @@ class NativePipeline:
                              (512, 1024, 2048, 4096, 8192, 16384))
                 Bp = _bucket(max(ntask, 256),
                              (256, 512, 1024, 2048, 4096, 8192, 16384))
-                seq = np.zeros((Bp, lq), np.int8)
-                rseq = np.zeros((Bp, lt), np.int8)
-                lens = np.zeros((2, Bp), np.int32)
-                self.lib.mp_rescue_fill(
-                    self.h, seq.ctypes.data_as(_PI8), lq,
-                    rseq.ctypes.data_as(_PI8), lt,
-                    lens.ctypes.data_as(_P32), Bp)
                 t0 = time.time()
-                out = np.ascontiguousarray(np.asarray(rescue_fn(
-                    seq, rseq, lens, self.opt.mat, o.o_del, o.e_del,
-                    o.o_ins, o.e_ins)), np.int32)
+                if getattr(rescue_fn, "idx", False):
+                    # resident-reference waves: meta only, windows
+                    # gathered on device
+                    meta = np.zeros((6, Bp), np.int32)
+                    self.lib.mp_rescue_fill_idx(
+                        self.h, meta.ctypes.data_as(_P32), Bp)
+                    lens = meta[:2]
+                    out = np.ascontiguousarray(rescue_fn(
+                        self._nib_reads(), meta, self.opt.mat, o.o_del,
+                        o.e_del, o.o_ins, o.e_ins, lq, lt), np.int32)
+                else:
+                    seq = np.zeros((Bp, lq), np.int8)
+                    rseq = np.zeros((Bp, lt), np.int8)
+                    lens = np.zeros((2, Bp), np.int32)
+                    self.lib.mp_rescue_fill(
+                        self.h, seq.ctypes.data_as(_PI8), lq,
+                        rseq.ctypes.data_as(_PI8), lt,
+                        lens.ctypes.data_as(_P32), Bp)
+                    out = np.ascontiguousarray(np.asarray(rescue_fn(
+                        seq, rseq, lens, self.opt.mat, o.o_del, o.e_del,
+                        o.o_ins, o.e_ins)), np.int32)
                 if self.tracer is not None:
                     self.tracer.batch(
                         f"rescue_e{e}w{k}", ntask,
@@ -550,6 +580,41 @@ def two_strand_text(pac: np.ndarray, two_d: bool = False) -> np.ndarray:
     return t2.reshape(rows, 1 << 20)
 
 
+def make_resident_text(pac, force_2d: bool = False):
+    """device_put the two-strand text once; share the returned array
+    across the fused/rescue/cigar resident-reference backends so the
+    reference lives in HBM exactly once."""
+    import jax
+
+    two_d = force_2d or 2 * len(pac) >= 1 << 31
+    return jax.device_put(two_strand_text(pac, two_d=two_d))
+
+
+def _nib_gather(reads_nib, row, col):
+    """Gather base codes from the nibble-packed read matrix: element
+    (row, col) of the logical (n, 2*L2) read matrix."""
+    import jax.numpy as jnp
+
+    L2 = reads_nib.shape[1]
+    col = jnp.clip(col, 0, 2 * L2 - 1)
+    b = jnp.take(reads_nib.reshape(-1), row * L2 + (col >> 1), axis=0)
+    b = b.astype(jnp.int32) & 0xFF
+    return jnp.where((col & 1) == 1, b >> 4, b & 0xF)
+
+
+def _text_gather(text, lo, hi):
+    """Gather base codes from the resident two-strand text at
+    position hi*2^20 + lo (lo may have absorbed an offset of either
+    sign; arithmetic >> floors, & takes the positive residue)."""
+    import jax.numpy as jnp
+
+    if text.ndim == 1:
+        pos = jnp.clip((hi << 20) + lo, 0, text.shape[0] - 1)
+        return jnp.take(text, pos, axis=0).astype(jnp.int32)
+    row = jnp.clip(hi + (lo >> 20), 0, text.shape[0] - 1)
+    return text[row, lo & 0xFFFFF].astype(jnp.int32)
+
+
 def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
                     tmax_l, qmax_r, tmax_r, blk_l, interpret, a_max):
     """Traceable body of the resident-reference fused step: gather the
@@ -567,27 +632,16 @@ def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
     from bwamem_tpu.ops.extend_pallas import extend_batch_raw_fused
 
     L2 = reads_nib.shape[1]
-    flat = reads_nib.reshape(-1)
     ri = scal[10][None, :]
 
     def q_gather(qmax, col_of):
         j = jnp.arange(qmax, dtype=jnp.int32)[:, None]
-        col = jnp.clip(col_of(j), 0, 2 * L2 - 1)
-        b = jnp.take(flat, ri * L2 + (col >> 1), axis=0)
-        b = b.astype(jnp.int32) & 0xFF
-        return jnp.where((col & 1) == 1, b >> 4, b & 0xF)
+        return _nib_gather(reads_nib, ri, col_of(j))
 
     def t_gather(tmax, lo_row, hi_row, sign):
         j = jnp.arange(tmax, dtype=jnp.int32)[:, None]
-        lo = scal[lo_row][None, :] + sign * j
-        hi = scal[hi_row][None, :]
-        if text.ndim == 1:
-            pos = jnp.clip((hi << 20) + lo, 0, text.shape[0] - 1)
-            return jnp.take(text, pos, axis=0).astype(jnp.int32)
-        # 2D mode: arithmetic >> floors negatives, & takes the
-        # positive residue, so borrow/carry propagate into the row
-        row = jnp.clip(hi + (lo >> 20), 0, text.shape[0] - 1)
-        return text[row, lo & 0xFFFFF].astype(jnp.int32)
+        return _text_gather(text, scal[lo_row][None, :] + sign * j,
+                            scal[hi_row][None, :])
 
     # left query = reversed read prefix; right = read suffix
     ql = q_gather(qmax_l, lambda j: scal[0][None, :] - 1 - j)
@@ -607,7 +661,7 @@ def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
 
 def make_fused_idx_backend(params, pac, blk_l: int = 512,
                            interpret: bool = False,
-                           force_2d: bool = False):
+                           force_2d: bool = False, text_dev=None):
     """Fused backend with a DEVICE-RESIDENT reference: the host ships
     only per-lane scalars + the chunk's read matrix; query/target
     windows are gathered on device from the resident two-strand text.
@@ -632,8 +686,8 @@ def make_fused_idx_backend(params, pac, blk_l: int = 512,
 
     prm = params_vector(params)
     a_max = int(np.max(np.asarray(params.mat_flat)))
-    two_d = force_2d or 2 * len(pac) >= 1 << 31
-    text = jax.device_put(two_strand_text(pac, two_d=two_d))
+    text = (text_dev if text_dev is not None
+            else make_resident_text(pac, force_2d))
 
     @functools.partial(
         jax.jit, static_argnames=("qmax_l", "tmax_l", "qmax_r", "tmax_r"))
@@ -658,6 +712,116 @@ def make_fused_idx_backend(params, pac, blk_l: int = 512,
     fused_idx.idx = True
     fused_idx.bp_quantum = blk_l
     return fused_idx
+
+
+def rescue_idx_local(reads_nib, meta, mat, pens, text, *, qmax, tmax):
+    """Traceable body of the resident-reference mate-rescue wave:
+    gather the mate sequence from the read matrix (revcomp'd in-lane
+    when meta row 3 is set) and the reference window from the text,
+    then run the batched local SW (ops/local_jax._align6).  meta rows:
+    [l_ms, l_ts, read index, is_rev, win_lo20, win_hi]."""
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.local_jax import _align6
+
+    j = jnp.arange(qmax, dtype=jnp.int32)[None, :]
+    rev = meta[3][:, None]
+    col = jnp.where(rev == 1, meta[0][:, None] - 1 - j, j)
+    q = _nib_gather(reads_nib, meta[2][:, None], col)
+    q = jnp.where((rev == 1) & (q < 4), 3 - q, q)
+    i = jnp.arange(tmax, dtype=jnp.int32)[None, :]
+    t = _text_gather(text, meta[4][:, None] + i, meta[5][:, None])
+    return _align6(q, meta[0], t, meta[1], mat, pens, qmax=qmax,
+                   tmax=tmax)
+
+
+def make_rescue_idx_backend(pac=None, force_2d: bool = False,
+                            text_dev=None):
+    """Resident-reference device mate rescue: NativePipeline's
+    mp_rescue_* wave protocol ships only the (6, Bp) meta block — the
+    mate sequences and reference windows are gathered on device (the
+    windows are up to pestat-high + read-length wide, ~0.5-1.5 MB of
+    payload per wave otherwise).  Pass `text_dev` to share the text
+    array with the fused backend."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    text = text_dev if text_dev is not None else make_resident_text(
+        pac, force_2d)
+
+    @functools.partial(jax.jit, static_argnames=("qmax", "tmax"))
+    def fn(reads_nib, meta, mat, pens, text, *, qmax, tmax):
+        return rescue_idx_local(reads_nib, meta, mat, pens, text,
+                                qmax=qmax, tmax=tmax)
+
+    def rescue_idx(reads_nib, meta, mat, o_del, e_del, o_ins, e_ins,
+                   qmax, tmax):
+        pens = jnp.asarray(
+            np.array([o_del, e_del, o_ins, e_ins], np.int32))
+        out = fn(reads_nib, meta, jnp.asarray(np.asarray(mat, np.int32)),
+                 pens, text, qmax=qmax, tmax=tmax)
+        return np.asarray(out, np.int32)
+
+    rescue_idx.idx = True
+    return rescue_idx
+
+
+def cigar_idx_local(reads_nib, meta, mat, pens, text, *, qmax, tmax):
+    """Traceable body of the resident-reference CIGAR round: gather
+    the query segment from the read matrix and the reference segment
+    from the text (both walked backwards for reverse-strand regions,
+    matching gen_cigar_setup), then run the batched banded global
+    alignment + traceback (ops/global_jax._global_batch).  meta rows:
+    [qlen, tlen, w, read index, qcol0, is_rev, t_lo20, t_hi]."""
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.global_jax import _global_batch
+
+    sign = jnp.where(meta[5] == 1, -1, 1)[:, None]
+    j = jnp.arange(qmax, dtype=jnp.int32)[None, :]
+    q = _nib_gather(reads_nib, meta[3][:, None],
+                    meta[4][:, None] + sign * j)
+    i = jnp.arange(tmax, dtype=jnp.int32)[None, :]
+    t = _text_gather(text, meta[6][:, None] + sign * i,
+                     meta[7][:, None])
+    return _global_batch(q, meta[0], t, meta[1], meta[2], mat, pens,
+                         qmax=qmax, tmax=tmax)
+
+
+def make_cigar_idx_backend(pac=None, force_2d: bool = False,
+                           text_dev=None):
+    """Resident-reference device CIGAR: NativePipeline's mp_cigar_*
+    round protocol ships only the (8, Bp) meta block; query/reference
+    segments are gathered on device.  Pass `text_dev` to share the
+    text array with the fused/rescue backends."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.global_jax import pack_cigar_round
+
+    text = text_dev if text_dev is not None else make_resident_text(
+        pac, force_2d)
+
+    @functools.partial(jax.jit, static_argnames=("qmax", "tmax"))
+    def fn(reads_nib, meta, mat, pens, text, *, qmax, tmax):
+        return cigar_idx_local(reads_nib, meta, mat, pens, text,
+                               qmax=qmax, tmax=tmax)
+
+    def cigar_idx(reads_nib, meta, mat, o_del, e_del, o_ins, e_ins,
+                  qmax, tmax):
+        pens = jnp.asarray(
+            np.array([o_del, e_del, o_ins, e_ins], np.int32))
+        score, steps = fn(reads_nib, meta,
+                          jnp.asarray(np.asarray(mat, np.int32)), pens,
+                          text, qmax=qmax, tmax=tmax)
+        return pack_cigar_round(score, steps)
+
+    cigar_idx.idx = True
+    return cigar_idx
 
 
 def make_jax_raw_t_backend(params):

@@ -196,6 +196,8 @@ struct MemPipe {
     int64_t ri, ki;
     std::vector<uint8_t> qseg, rseg;
     int64_t w2, last_sc, round, truesc;
+    int64_t qb = 0, rb = 0, re = 0;  // region coords (resident-ref
+    //                                  device rounds gather from them)
   };
   std::vector<CigTask> cig_tasks;
   std::unordered_map<int64_t, GlobalResC> cig_results;
@@ -2006,6 +2008,25 @@ void mp_rescue_fill(void* h, int8_t* seq, int64_t lq_pad, int8_t* rseq,
   }
 }
 
+// Indexed fill for the device-resident-reference rescue path: no base
+// payload; meta (6, Bp) int32 rows are
+//   [l_ms, l_ts, mate read index, is_rev, win_lo20, win_hi]
+// where win = rb (the window start in two-strand coordinates).  The
+// device gathers seq from the chunk read matrix (revcomp'd in-lane
+// when is_rev) and rseq from the resident text.
+void mp_rescue_fill_idx(void* h, int32_t* meta, int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  for (size_t i = 0; i < mp.rescue_tasks.size(); ++i) {
+    const auto& t = mp.rescue_tasks[i];
+    meta[0 * Bp + (int64_t)i] = (int32_t)t.l_ms;
+    meta[1 * Bp + (int64_t)i] = (int32_t)t.rseq.size();
+    meta[2 * Bp + (int64_t)i] = (int32_t)t.mate_read;
+    meta[3 * Bp + (int64_t)i] = t.is_rev ? 1 : 0;
+    meta[4 * Bp + (int64_t)i] = (int32_t)(t.rb & 0xFFFFF);
+    meta[5 * Bp + (int64_t)i] = (int32_t)(t.rb >> 20);
+  }
+}
+
 // out6 (6, Bp) int32: [score, qb, qe, tb, te, score2] per task lane.
 void mp_rescue_apply(void* h, const int32_t* out6, int64_t Bp) {
   MemPipe& mp = *static_cast<MemPipe*>(h);
@@ -2110,6 +2131,9 @@ int64_t mp_cigar_begin(void* h, int64_t nthreads) {
       t.last_sc = -((int64_t)1 << 30);
       t.round = 0;
       t.truesc = p.truesc;
+      t.qb = p.qb;
+      t.rb = p.rb;
+      t.re = p.re;
       mp.cig_tasks.push_back(std::move(t));
     }
   }
@@ -2140,6 +2164,32 @@ void mp_cigar_fill(void* h, int8_t* q, int64_t lq, int8_t* t, int64_t lt,
     meta[i] = (int32_t)ct.qseg.size();
     meta[Bp + (int64_t)i] = (int32_t)ct.rseg.size();
     meta[2 * Bp + (int64_t)i] = (int32_t)std::min(ct.w2, o.w << 2);
+  }
+}
+
+// Indexed fill for the device-resident-reference CIGAR rounds: meta
+// (8, Bp) int32 rows are
+//   [qlen, tlen, w, read index, qcol0, is_rev, t_lo20, t_hi]
+// where the device reads query base j as read[qcol0 - j] when is_rev
+// (regions on the reverse strand align reversed segments, matching
+// gen_cigar_setup) else read[qcol0 + j], and target base j from the
+// resident text at tpos0 -+ j (tpos0 = t_hi*2^20 + t_lo).
+void mp_cigar_fill_idx(void* h, int32_t* meta, int64_t Bp) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  const Opt& o = mp.opt;
+  for (size_t i = 0; i < mp.cig_tasks.size(); ++i) {
+    const auto& ct = mp.cig_tasks[i];
+    bool rev = ct.rb >= mp.l_pac;
+    int64_t qcol0 = rev ? ct.qb + (int64_t)ct.qseg.size() - 1 : ct.qb;
+    int64_t tpos0 = rev ? ct.re - 1 : ct.rb;
+    meta[0 * Bp + (int64_t)i] = (int32_t)ct.qseg.size();
+    meta[1 * Bp + (int64_t)i] = (int32_t)ct.rseg.size();
+    meta[2 * Bp + (int64_t)i] = (int32_t)std::min(ct.w2, o.w << 2);
+    meta[3 * Bp + (int64_t)i] = (int32_t)ct.ri;
+    meta[4 * Bp + (int64_t)i] = (int32_t)qcol0;
+    meta[5 * Bp + (int64_t)i] = rev ? 1 : 0;
+    meta[6 * Bp + (int64_t)i] = (int32_t)(tpos0 & 0xFFFFF);
+    meta[7 * Bp + (int64_t)i] = (int32_t)(tpos0 >> 20);
   }
 }
 
@@ -2237,6 +2287,9 @@ int64_t mp_cigar_collect_pe(void* h) {
       t.last_sc = -((int64_t)1 << 30);
       t.round = 0;
       t.truesc = p.truesc;
+      t.qb = p.qb;
+      t.rb = p.rb;
+      t.re = p.re;
       mp.cig_tasks.push_back(std::move(t));
     }
   }

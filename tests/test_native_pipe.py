@@ -239,6 +239,35 @@ def test_pe_device_rescue_sam_identical(world):
         [[r.line() for r in x] for x in got]
 
 
+def test_pe_device_rescue_idx_sam_identical(world):
+    """The resident-reference rescue waves (mp_rescue_fill_idx: meta
+    only, mate sequence + window gathered on device with in-lane
+    revcomp) == the all-C++ rescue path, byte for byte, non-vacuously."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 40)
+    for i in range(0, 40, 7):
+        r2s[i] = revcomp_read(r2s[i])
+    row_fn, raw_t_fn = _backends(opt)
+    want = native_driver.NativePipeline(
+        opt, ref, fm, po, nthreads=2).align_pairs_chunk(r1s, r2s,
+                                                        raw_t_fn)
+    base = native_driver.make_rescue_idx_backend(ref.pac)
+    calls = []
+
+    def counting(*a):
+        calls.append(a[1].shape)
+        return base(*a)
+
+    counting.idx = True
+    got = native_driver.NativePipeline(
+        opt, ref, fm, po, nthreads=2).align_pairs_chunk(
+        r1s, r2s, raw_t_fn, rescue_fn=counting)
+    assert calls, "no rescue wave fired — vacuous comparison"
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
 def test_se_device_cigar_sam_identical(world):
     """The mp_cigar_* round protocol (device-batched banded global
     align + traceback, ops/global_jax.make_cigar_backend) == the
@@ -377,6 +406,50 @@ def test_fused_pe_sam_identical(world):
                        extend_batch_fn=row_fn)
     pipe = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128)
     got = pipe.align_pairs_chunk(r1s, r2s, fused_fn)
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
+def test_se_device_cigar_idx_sam_identical(world):
+    """The resident-reference CIGAR rounds (mp_cigar_fill_idx: meta
+    only, segments gathered on device with reverse-strand walks) ==
+    the host-C++ reg2aln path, byte for byte, non-vacuously."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    reads, names, quals = make_reads(rng, ref, 48)
+    row_fn, raw_t_fn = _backends(opt)
+    want = native_driver.NativePipeline(
+        opt, ref, fm, po, nthreads=2).align_chunk(
+        reads, raw_t_fn, names=names, quals=quals)
+    base = native_driver.make_cigar_idx_backend(ref.pac)
+    calls = []
+
+    def counting(*a):
+        calls.append(a[1].shape)
+        return base(*a)
+
+    counting.idx = True
+    got = native_driver.NativePipeline(
+        opt, ref, fm, po, nthreads=2).align_chunk(
+        reads, raw_t_fn, names=names, quals=quals, cigar_fn=counting)
+    assert calls, "no cigar round fired — vacuous comparison"
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
+def test_pe_device_cigar_idx_sam_identical(world):
+    """Resident-reference CIGAR rounds through the PE path (regions on
+    both strands, mate fields) == the host-C++ path."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 24)
+    row_fn, raw_t_fn = _backends(opt)
+    want = native_driver.NativePipeline(
+        opt, ref, fm, po).align_pairs_chunk(r1s, r2s, raw_t_fn)
+    fn = native_driver.make_cigar_idx_backend(ref.pac)
+    got = native_driver.NativePipeline(
+        opt, ref, fm, po).align_pairs_chunk(
+        r1s, r2s, raw_t_fn, cigar_fn=fn)
     assert [[r.line() for r in x] for x in want] == \
         [[r.line() for r in x] for x in got]
 
