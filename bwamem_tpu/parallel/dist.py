@@ -307,6 +307,100 @@ def make_sharded_rescue_backend(mesh: Mesh):
     return fn
 
 
+def make_sharded_rescue_idx_backend(mesh: Mesh, pac=None, text_dev=None):
+    """Mesh-sharded resident-reference mate rescue: text + read matrix
+    replicate, the (6, Bp) meta block shards on the lane axis; same
+    call contract as native_driver.make_rescue_idx_backend (the wave
+    builder's 256-lane buckets are multiples of any mesh size)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from bwamem_tpu.pipeline.native_driver import (
+        make_resident_text,
+        rescue_idx_local,
+    )
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    text = text_dev if text_dev is not None else jax.device_put(
+        np.asarray(make_resident_text(pac)), NamedSharding(mesh, P()))
+
+    @functools.partial(jax.jit, static_argnames=("qmax", "tmax"))
+    def fn(reads_nib, meta, mat, pens, text, *, qmax, tmax):
+        local = functools.partial(rescue_idx_local, qmax=qmax, tmax=tmax)
+        return jax.shard_map(
+            lambda r, m, mt, pp, tx: local(r, m, mt, pp, tx),
+            mesh=mesh,
+            in_specs=(P(None, None), P(None, axis), P(None), P(None),
+                      P(*([None] * text.ndim))),
+            out_specs=P(None, axis),
+            check_vma=False,  # batch-dim data parallelism only
+        )(reads_nib, meta, mat, pens, text)
+
+    def rescue_idx(reads_nib, meta, mat, o_del, e_del, o_ins, e_ins,
+                   qmax, tmax):
+        assert meta.shape[1] % n_dev == 0, (meta.shape, n_dev)
+        pens = jnp.asarray(
+            np.array([o_del, e_del, o_ins, e_ins], np.int32))
+        out = fn(reads_nib, meta, jnp.asarray(np.asarray(mat, np.int32)),
+                 pens, text, qmax=qmax, tmax=tmax)
+        return np.asarray(out, np.int32)
+
+    rescue_idx.idx = True
+    rescue_idx.b_quantum = n_dev
+    return rescue_idx
+
+
+def make_sharded_cigar_idx_backend(mesh: Mesh, pac=None, text_dev=None):
+    """Mesh-sharded resident-reference CIGAR rounds: text + read matrix
+    replicate, the (8, Bp) meta block shards on the lane axis; same
+    call contract as native_driver.make_cigar_idx_backend.  The
+    traceback steps gather back to the host, where run-length encoding
+    stays (as in make_sharded_cigar_backend)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.global_jax import pack_cigar_round
+    from bwamem_tpu.pipeline.native_driver import (
+        cigar_idx_local,
+        make_resident_text,
+    )
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    text = text_dev if text_dev is not None else jax.device_put(
+        np.asarray(make_resident_text(pac)), NamedSharding(mesh, P()))
+
+    @functools.partial(jax.jit, static_argnames=("qmax", "tmax"))
+    def fn(reads_nib, meta, mat, pens, text, *, qmax, tmax):
+        local = functools.partial(cigar_idx_local, qmax=qmax, tmax=tmax)
+        return jax.shard_map(
+            lambda r, m, mt, pp, tx: local(r, m, mt, pp, tx),
+            mesh=mesh,
+            in_specs=(P(None, None), P(None, axis), P(None), P(None),
+                      P(*([None] * text.ndim))),
+            # (score (Bp,), steps (smax, Bp)): task axes 0 and 1
+            out_specs=(P(axis), P(None, axis)),
+            check_vma=False,  # batch-dim data parallelism only
+        )(reads_nib, meta, mat, pens, text)
+
+    def cigar_idx(reads_nib, meta, mat, o_del, e_del, o_ins, e_ins,
+                  qmax, tmax):
+        assert meta.shape[1] % n_dev == 0, (meta.shape, n_dev)
+        pens = jnp.asarray(
+            np.array([o_del, e_del, o_ins, e_ins], np.int32))
+        score, steps = fn(reads_nib, meta,
+                          jnp.asarray(np.asarray(mat, np.int32)), pens,
+                          text, qmax=qmax, tmax=tmax)
+        return pack_cigar_round(score, steps)
+
+    cigar_idx.idx = True
+    cigar_idx.b_quantum = n_dev
+    return cigar_idx
+
+
 def shard_batch(mesh: Mesh, arrays):
     """Device-put a pytree of (B, ...) host arrays with batch-dim sharding."""
     axis = mesh.axis_names[0]

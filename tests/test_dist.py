@@ -180,6 +180,21 @@ got_pe = [[r.line() for r in rr] for rr in pipeB.align_pairs_chunk(
     cigar_fn=make_sharded_cigar_backend(mesh))]
 assert want_pe == got_pe, "PE SAM mismatch under full mesh sharding"
 print("e2e sharded PE SAM == single-device PE SAM: ok")
+
+# 7) the fully resident mesh PE path: fused_idx extension +
+# resident-reference rescue waves + CIGAR rounds, all sharded
+from bwamem_tpu.parallel.dist import (
+    make_sharded_cigar_idx_backend,
+    make_sharded_rescue_idx_backend,
+)
+
+pipeC = native_driver.NativePipeline(opt, ref, fm, po, blk_l=BLK)
+got_pe_idx = [[r.line() for r in rr] for rr in pipeC.align_pairs_chunk(
+    r1s, r2s, sharded_idx,
+    rescue_fn=make_sharded_rescue_idx_backend(mesh, ref.pac),
+    cigar_fn=make_sharded_cigar_idx_backend(mesh, ref.pac))]
+assert want_pe == got_pe_idx, "PE SAM mismatch: resident mesh path"
+print("e2e resident mesh PE SAM == single-device PE SAM: ok")
 """
 
 
@@ -200,3 +215,4 @@ def test_sharded_extension_8dev_cpu_mesh():
     assert "sharded device CIGAR == unsharded: ok" in r.stdout
     assert "sharded device rescue == unsharded: ok" in r.stdout
     assert "e2e sharded PE SAM == single-device PE SAM: ok" in r.stdout
+    assert "e2e resident mesh PE SAM == single-device PE SAM: ok" in r.stdout
