@@ -224,12 +224,12 @@ def main():
             chunk = reads[i:i + args.batch]
             if args.paired:
                 return len(chunk), ex.submit(
-                    pipes[ci % len(pipes)].align_pairs_chunk, chunk,
-                    mates[i:i + args.batch], raw_t_fn,
+                    pipes[ci % len(pipes)].align_pairs_chunk_text,
+                    chunk, mates[i:i + args.batch], raw_t_fn,
                     rescue_fn=rescue_fn, cigar_fn=cigar_fn)
             return len(chunk), ex.submit(
-                pipes[ci % len(pipes)].align_chunk, chunk, raw_t_fn,
-                cigar_fn=cigar_fn)
+                pipes[ci % len(pipes)].align_chunk_text, chunk,
+                raw_t_fn, cigar_fn=cigar_fn)
 
         with ThreadPoolExecutor(max_workers=args.inflight) as ex:
             futs: deque = deque()
@@ -238,12 +238,12 @@ def main():
                 futs.append(submit(ex, ci, i))
                 while len(futs) >= args.inflight:
                     nc, f = futs.popleft()
-                    n_rec += sum(len(x) for x in f.result())
+                    n_rec += f.result()[1]
                     chunk_times.append((nc, time.time() - tc))
                     tc = time.time()
             while futs:
                 nc, f = futs.popleft()
-                n_rec += sum(len(x) for x in f.result())
+                n_rec += f.result()[1]
                 chunk_times.append((nc, time.time() - tc))
                 tc = time.time()
     else:

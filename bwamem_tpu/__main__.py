@@ -229,7 +229,20 @@ def cmd_mem(args) -> int:
                 rr = ReadRange(0, start, start + len(chunk))
                 if manifest.is_done(rr):
                     continue
-            if use_native:
+            if use_native and not args.C:
+                # zero-object fast path: the chunk's SAM arrives as
+                # one pre-terminated text blob straight from C++
+                text, nr_ = pipe.align_pairs_chunk_text(
+                    [r.seq.astype(np.int64) for r in chunk],
+                    [m.seq.astype(np.int64) for m in mchunk], raw_t_fn,
+                    names=[r.name for r in chunk],
+                    quals1=[r.qual for r in chunk],
+                    quals2=[m.qual for m in mchunk],
+                    rescue_fn=rescue_fn, cigar_fn=cigar_fn)
+                out.write(text)
+                n_rec += nr_
+                recs = []
+            elif use_native:
                 recs = pipe.align_pairs_chunk(
                     [r.seq.astype(np.int64) for r in chunk],
                     [m.seq.astype(np.int64) for m in mchunk], raw_t_fn,
@@ -276,19 +289,33 @@ def cmd_mem(args) -> int:
                  for _ in range(depth)]
 
         def run_chunk(ci, chunk):
-            return pipes[ci % len(pipes)].align_chunk(
-                [r.seq.astype(np.int64) for r in chunk], raw_t_fn,
-                names=[r.name for r in chunk],
-                quals=[r.qual for r in chunk], cigar_fn=cigar_fn)
+            pipe_ = pipes[ci % len(pipes)]
+            seqs = [r.seq.astype(np.int64) for r in chunk]
+            names_ = [r.name for r in chunk]
+            quals_ = [r.qual for r in chunk]
+            if not args.C:
+                # zero-object fast path: pre-terminated text blob
+                return pipe_.align_chunk_text(seqs, raw_t_fn,
+                                              names=names_,
+                                              quals=quals_,
+                                              cigar_fn=cigar_fn)
+            return pipe_.align_chunk(seqs, raw_t_fn, names=names_,
+                                     quals=quals_, cigar_fn=cigar_fn)
 
         def flush_one(futs):
             nonlocal n_rec
             rng_, cms, fut = futs.popleft()
-            for gi, rr in enumerate(fut.result()):
-                cm = (cms[gi], None) if cms is not None else None
-                for rec in rr:
-                    emit(rec, cm)
-                    n_rec += 1
+            got = fut.result()
+            if not args.C:
+                text, nr_ = got
+                out.write(text)
+                n_rec += nr_
+            else:
+                for gi, rr in enumerate(got):
+                    cm = (cms[gi], None) if cms is not None else None
+                    for rec in rr:
+                        emit(rec, cm)
+                        n_rec += 1
             if manifest is not None:
                 manifest.mark_done(rng_)
             if args.v >= 3:

@@ -316,7 +316,7 @@ def _bind_mempipe(lib):
     lib.mp_emit_sam.restype = None
     lib.mp_emit_sam.argtypes = [ctypes.c_void_p, ctypes.c_char_p, p64,
                                 ctypes.c_char_p, p64, ctypes.c_char_p,
-                                p64, p64, i64]
+                                p64, p64, i64, i64]
     lib.mp_region_count.restype = i64
     lib.mp_region_count.argtypes = [ctypes.c_void_p, i64]
     lib.mp_export_regions.restype = None

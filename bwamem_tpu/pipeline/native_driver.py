@@ -291,6 +291,33 @@ class NativePipeline:
             self.tracer.host(0, time.time() - t_fin)
         return out
 
+    def align_chunk_text(self, reads, raw_t_fn, names=None, quals=None,
+                         cigar_fn=None) -> tuple[str, int]:
+        """align_chunk's zero-object fast path: returns the chunk's SAM
+        as ONE newline-terminated text blob (already in output order)
+        plus the record count — no per-record Python at all.  Byte
+        parity with align_chunk is pinned by test_native_pipe."""
+        import time
+
+        names = names or [f"read{i}" for i in range(len(reads))]
+        quals = quals or [None] * len(reads)
+        self._extend(reads, raw_t_fn)
+        t_fin = time.time()
+        if cigar_fn is not None:
+            n_active = int(self.lib.mp_cigar_begin(self.h, self.nthreads))
+            self._device_cigar_rounds(n_active, cigar_fn)
+            nrec = self.lib.mp_finalize_records(self.h, self.nthreads)
+        else:
+            nrec = self.lib.mp_finalize(self.h, self.nthreads)
+        text = ""
+        if nrec:
+            text, _, _ = self._emit_blob(nrec, names, quals,
+                                         newline=True)
+        self.lib.mp_chunk_end(self.h)
+        if self.tracer is not None:
+            self.tracer.host(0, time.time() - t_fin)
+        return text, int(nrec)
+
     def _device_cigar_rounds(self, n_active, cigar_fn):
         """reg2aln band-doubling retry as compacted device rounds: the
         whole chunk's global fills + tracebacks per round in one jit
@@ -389,6 +416,45 @@ class NativePipeline:
             self.tracer.host(0, time.time() - t_fin)
         return out
 
+    def align_pairs_chunk_text(self, reads1, reads2, raw_t_fn,
+                               names=None, quals1=None, quals2=None,
+                               rescue_fn=None,
+                               cigar_fn=None) -> tuple[str, int]:
+        """align_pairs_chunk's zero-object fast path (see
+        align_chunk_text)."""
+        import time
+
+        n = len(reads1)
+        names = names or [f"pair{i}" for i in range(n)]
+        quals1 = quals1 or [None] * n
+        quals2 = quals2 or [None] * n
+        reads = list(reads1) + list(reads2)
+        all_names = names + names
+        all_quals = list(quals1) + list(quals2)
+        self._extend(reads, raw_t_fn)
+        t_fin = time.time()
+        device_rescue = rescue_fn is not None and self.opt.max_matesw > 0
+        if device_rescue or cigar_fn is not None:
+            self.lib.mp_pe_prepare(self.h, n, self.nthreads)
+            if device_rescue:
+                self._device_rescue(rescue_fn)
+            else:
+                self.lib.mp_rescue_host(self.h, n, self.nthreads)
+            if cigar_fn is not None:
+                n_active = int(self.lib.mp_cigar_collect_pe(self.h))
+                self._device_cigar_rounds(n_active, cigar_fn)
+            nrec = self.lib.mp_finalize_pe_tail(self.h, n, self.nthreads)
+        else:
+            nrec = self.lib.mp_finalize_pe(self.h, n, self.nthreads)
+        text = ""
+        if nrec:
+            text, _, _ = self._emit_blob(nrec, all_names, all_quals,
+                                         newline=True)
+        self.lib.mp_chunk_end(self.h)
+        if self.tracer is not None:
+            self.tracer.host(0, time.time() - t_fin)
+        return text, int(nrec)
+
     def _device_rescue(self, rescue_fn):
         """mem_matesw wave loop: end phase e (anchor end), wave k
         (anchor rank).  Each wave ships every pair's k-th-anchor rescue
@@ -442,17 +508,12 @@ class NativePipeline:
                 self.lib.mp_rescue_apply(
                     self.h, out.ctypes.data_as(_P32), Bp)
 
-    def _collect(self, nrec, n_groups, reads, names, quals):
-        """SAM lines for the chunk, grouped by read (SE) / pair (PE).
-
-        The whole aln2sam assembly (seq/qual orientation, hard clips,
-        tags) runs in C++ (mp_emit_sam, -t threads); Python only slices
-        the returned text blob — one SamLine object per record is the
-        entire per-record Python cost."""
-        del reads
-        out: list[list] = [[] for _ in range(n_groups)]
-        if nrec == 0:
-            return out
+    def _emit_blob(self, nrec, names, quals, newline=False):
+        """Render the chunk's records as one SAM text blob in C++
+        (mp_emit_sam, -t threads), in final output order (records are
+        flattened read-by-read / pair-by-pair).  Returns (text, line
+        offsets, record->group map); `newline=True` terminates every
+        line so the blob streams directly."""
         name_off = np.zeros(len(names) + 1, np.int64)
         np.cumsum([len(s) for s in names], out=name_off[1:])
         name_blob = "".join(names).encode("ascii")
@@ -465,15 +526,30 @@ class NativePipeline:
             qual_blob = "".join(q or "" for q in quals).encode("ascii")
             qual_off_p = qual_off.ctypes.data_as(_P64)
         cap = int(self.lib.mp_sam_size(
-            self.h, name_off.ctypes.data_as(_P64)))
+            self.h, name_off.ctypes.data_as(_P64))) + nrec
         buf = ctypes.create_string_buffer(max(cap, 1))
         line_off = np.zeros(nrec + 1, np.int64)
         group = np.zeros(nrec, np.int64)
         self.lib.mp_emit_sam(
             self.h, name_blob, name_off.ctypes.data_as(_P64), qual_blob,
             qual_off_p, buf, line_off.ctypes.data_as(_P64),
-            group.ctypes.data_as(_P64), self.nthreads)
+            group.ctypes.data_as(_P64), self.nthreads,
+            1 if newline else 0)
         text = buf.raw[:int(line_off[nrec])].decode("ascii")
+        return text, line_off, group
+
+    def _collect(self, nrec, n_groups, reads, names, quals):
+        """SAM lines for the chunk, grouped by read (SE) / pair (PE).
+
+        The whole aln2sam assembly (seq/qual orientation, hard clips,
+        tags) runs in C++; Python only slices the returned text blob —
+        one SamLine object per record is the entire per-record Python
+        cost (align_chunk_text skips even that)."""
+        del reads
+        out: list[list] = [[] for _ in range(n_groups)]
+        if nrec == 0:
+            return out
+        text, line_off, group = self._emit_blob(nrec, names, quals)
         off = line_off.tolist()
         for i, g in enumerate(group.tolist()):
             out[g].append(SamLine(text[off[i]:off[i + 1]]))

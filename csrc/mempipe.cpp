@@ -2550,9 +2550,12 @@ int64_t mp_sam_size(void* h, const int64_t* name_off) {
 // blob per input read; quals/qual_off: phred blob or NULL (=> "*").
 // out: >= mp_sam_size bytes; line_off: (nrec+1) byte offsets into out;
 // group: (nrec) read/pair index of each line (mp_get_records f[15]).
+// newline != 0 appends '\n' to every line (the blob is then directly
+// streamable; size the buffer with mp_sam_size + nrec).
 void mp_emit_sam(void* h, const char* names, const int64_t* name_off,
                  const char* quals, const int64_t* qual_off, char* out,
-                 int64_t* line_off, int64_t* group, int64_t nthreads) {
+                 int64_t* line_off, int64_t* group, int64_t nthreads,
+                 int64_t newline) {
   MemPipe& mp = *static_cast<MemPipe*>(h);
   struct Ref {
     const RecordC* r;
@@ -2593,6 +2596,7 @@ void mp_emit_sam(void* h, const char* names, const int64_t* name_off,
     line_off[i] = off;
     std::memcpy(out + off, lines[i].data(), lines[i].size());
     off += (int64_t)lines[i].size();
+    if (newline) out[off++] = '\n';
     group[i] = refs[i].g;
   }
   line_off[refs.size()] = off;

@@ -509,6 +509,33 @@ def test_fused_idx_pe_sam_identical(world):
         [[r.line() for r in x] for x in got]
 
 
+def test_chunk_text_blob_parity(world):
+    """align_chunk_text / align_pairs_chunk_text (the zero-object emit
+    fast path) == the per-record SamLine output, byte for byte."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    reads, names, quals = make_reads(rng, ref, 24)
+    row_fn, raw_t_fn = _backends(opt)
+    want = native_driver.NativePipeline(
+        opt, ref, fm, po).align_chunk(reads, raw_t_fn, names=names,
+                                      quals=quals)
+    want_text = "".join(r.line() + "\n" for rr in want for r in rr)
+    text, nrec = native_driver.NativePipeline(
+        opt, ref, fm, po).align_chunk_text(reads, raw_t_fn, names=names,
+                                           quals=quals)
+    assert text == want_text
+    assert nrec == sum(len(rr) for rr in want)
+
+    r1s, r2s = _pe_world(rng, ref, 12)
+    want_pe = native_driver.NativePipeline(
+        opt, ref, fm, po).align_pairs_chunk(r1s, r2s, raw_t_fn)
+    want_pe_text = "".join(r.line() + "\n" for rr in want_pe for r in rr)
+    text_pe, nrec_pe = native_driver.NativePipeline(
+        opt, ref, fm, po).align_pairs_chunk_text(r1s, r2s, raw_t_fn)
+    assert text_pe == want_pe_text
+    assert nrec_pe == sum(len(rr) for rr in want_pe)
+
+
 def test_regions_match_compute_regions(world):
     """regions_chunk == the Python compute_regions pipeline (PE input)."""
     from bwamem_tpu.pipeline.align import compute_regions
