@@ -509,6 +509,41 @@ def test_fused_idx_pe_sam_identical(world):
         [[r.line() for r in x] for x in got]
 
 
+def test_fused_idx_n_bases_reference(world):
+    """A reference with N runs (code 4): the resident text must carry
+    them through the device gathers (strand fold keeps 4) identically
+    to the host-shipped payload path — reads anchored next to N
+    stretches still align the same."""
+    opt = MemOptions()
+    rng = np.random.default_rng(7)
+    pac = rng.integers(0, 4, 50000).astype(np.uint8)
+    for p in range(0, 50000, 4000):  # scattered ambiguity runs
+        pac[p:p + int(rng.integers(5, 40))] = 4
+    ref = Reference(contigs=[Contig("cN", 0, 50000)], pac=pac)
+    fm = build_index(pac)
+    po = pack_occ(fm)
+    reads = []
+    for i in range(24):
+        pos = int(rng.integers(0, 50000 - 140))
+        r = pac[pos:pos + 120].astype(np.int64).copy()
+        for _ in range(3):
+            q = int(rng.integers(0, 120))
+            r[q] = (r[q] + 1) % 4
+        if i % 2:
+            r = revcomp_read(r)
+        reads.append(r)
+    ship = native_driver.make_fused_backend(_params(opt), blk_l=128,
+                                            interpret=True)
+    idx = native_driver.make_fused_idx_backend(
+        _params(opt), ref.pac, blk_l=128, interpret=True)
+    want = native_driver.NativePipeline(
+        opt, ref, fm, po, blk_l=128).align_chunk(reads, ship)
+    got = native_driver.NativePipeline(
+        opt, ref, fm, po, blk_l=128).align_chunk(reads, idx)
+    assert [[r.line() for r in rr] for rr in want] == \
+        [[r.line() for r in rr] for rr in got]
+
+
 def test_chunk_text_blob_parity(world):
     """align_chunk_text / align_pairs_chunk_text (the zero-object emit
     fast path) == the per-record SamLine output, byte for byte."""
