@@ -102,13 +102,17 @@ def main():
     fn = jax.jit(
         lambda *a: extend_pallas.extend_batch_raw_t(
             *a, params, blk_l=BLK, early_exit=False))
-    out = fn(*args)
-    out.block_until_ready()  # compile
+    np.asarray(fn(*args))  # compile + hard sync
+    # NB: block_until_ready can return before execution completes when
+    # the device sits behind the axon relay; np.asarray (a real D2H
+    # fetch of the last output) is the only trustworthy fence, so the
+    # timed window ends on one — the ~15 ms fetch amortizes over
+    # n_iter and errs on the honest side.
     n_iter = 10
     t0 = time.time()
     for _ in range(n_iter):
         out = fn(*args)
-    out.block_until_ready()
+    np.asarray(out)
     dt = (time.time() - t0) / n_iter
 
     band = min(QLEN, 2 * W + 1)
@@ -124,15 +128,16 @@ def main():
 
 
 if __name__ == "__main__":
-    # the axon tunnel occasionally drops mid-run; retry a couple of
-    # times before giving up so the driver still gets its JSON line
+    # the axon tunnel occasionally drops mid-run (observed outages up
+    # to hours); retry with growing waits so the driver still gets its
+    # JSON line if the relay comes back
     last = None
-    for attempt in range(3):
+    for attempt in range(5):
         try:
             sys.exit(main())
         except Exception as e:  # noqa: BLE001
             last = e
             print(f"[bench] attempt {attempt + 1} failed: {e}",
                   file=sys.stderr)
-            time.sleep(60)
+            time.sleep(60 * (attempt + 1))
     raise last
