@@ -112,6 +112,23 @@ def make_raw_t_backend(opt, backend: str, pac=None, ship_ref=False,
     return native_driver.make_fused_backend(params)
 
 
+def _parse_isize(spec):
+    """-I FLOAT[,FLOAT[,INT[,INT]]]: mean, std (10% of mean if
+    absent), max (mean+4*std if absent), min of the insert-size
+    distribution (bwa mem -I)."""
+    if not spec:
+        return {}
+    parts = spec.split(",")
+    out = {"pe_mean": float(parts[0])}
+    if len(parts) > 1:
+        out["pe_std"] = float(parts[1])
+    if len(parts) > 2:
+        out["pe_max"] = int(parts[2])
+    if len(parts) > 3:
+        out["pe_min"] = int(parts[3])
+    return out
+
+
 def cmd_mem(args) -> int:
     from bwamem_tpu.config import MemOptions
     from bwamem_tpu.io.fastq import iter_fastq_chunks
@@ -129,7 +146,8 @@ def cmd_mem(args) -> int:
                      pen_unpaired=args.U, split_factor=args.r,
                      max_occ=args.c,
                      max_matesw=0 if args.S else 100,
-                     skip_pairing=args.P)
+                     skip_pairing=args.P,
+                     **_parse_isize(args.I))
     ref, fm = load_index(args.fasta)
     from bwamem_tpu.index.occ_packed import pack_occ
 
@@ -428,6 +446,11 @@ def main(argv=None) -> int:
                      help="penalty for 5'- and 3'-end clipping")
     mem.add_argument("-U", type=int, default=17,
                      help="penalty for an unpaired read pair")
+    mem.add_argument("-I", default=None, metavar="FLOAT[,...]",
+                     help="specify the mean, standard deviation (10%%"
+                          " of the mean if absent), max (4 sigma from "
+                          "the mean if absent) and min of the insert "
+                          "size distribution; skips pestat inference")
     mem.add_argument("-p", action="store_true",
                      help="first query file consists of interleaved "
                           "paired-end sequences")

@@ -60,6 +60,12 @@ class MemOptions:
     max_ins: int = 10000  # maximum insert size for pairing
     skip_pairing: bool = False  # -P: emit both ends SE-style with PE
     #                             flags (bwa MEM_F_NOPAIRING)
+    # -I mean[,std[,max[,min]]]: explicit FR insert-size distribution
+    # (skips mem_pestat); <= 0 = infer from the batch
+    pe_mean: float = -1.0
+    pe_std: float = -1.0
+    pe_max: int = -1
+    pe_min: int = -1
 
     @property
     def mat(self) -> np.ndarray:

@@ -66,6 +66,8 @@ class NativePipeline:
         self._opt_d = np.array([
             opt.split_factor, opt.drop_ratio, opt.mask_level,
             opt.mapq_coef_len, opt.mapq_coef_fac,
+            opt.pe_mean, opt.pe_std, float(opt.pe_max),
+            float(opt.pe_min),
         ], np.float64)
         self._mat = np.ascontiguousarray(opt.mat, np.int8)
         self._pac = np.ascontiguousarray(ref.pac, np.uint8)

@@ -52,6 +52,25 @@ def _infer_dir(l_pac: int, b1: int, b2: int) -> tuple[int, int]:
 MIN_RATIO = 0.8
 
 
+def explicit_pes(opt: MemOptions) -> list[PEStat] | None:
+    """bwa mem -I: a user-specified FR insert-size distribution skips
+    mem_pestat entirely.  Per bwa-0.7.8's documented formula: std
+    defaults to 10% of the mean, high/low default to mean ± 4σ
+    (+.499 rounding, low clamped to 1); FF/RF/RR stay failed."""
+    if opt.pe_mean <= 0:
+        return None
+    mean = float(opt.pe_mean)
+    std = float(opt.pe_std) if opt.pe_std > 0 else mean * 0.1
+    high = (opt.pe_max if opt.pe_max > 0
+            else int(mean + 4.0 * std + 0.499))
+    low = (opt.pe_min if opt.pe_min > 0
+           else int(mean - 4.0 * std + 0.499))
+    low = max(low, 1)
+    pes = [PEStat() for _ in range(4)]
+    pes[1] = PEStat(low=low, high=high, avg=mean, std=std, failed=False)
+    return pes
+
+
 def cal_sub(opt: MemOptions, regs: list[Region]) -> int:
     """bwa cal_sub: score of the first region significantly overlapping
     the best region on the query (regs must be score-sorted), else
@@ -300,7 +319,7 @@ def align_pairs(opt: MemOptions, ref: Reference, fm, reads1, reads2,
                                            chains=ch1[i]),
                          A.compute_regions(opt, ref, fm, r2, efns[n + i],
                                            chains=ch2[i])))
-    pes = infer_isize(opt, ref.l_pac, regs)
+    pes = explicit_pes(opt) or infer_isize(opt, ref.l_pac, regs)
     out = []
     for i in range(n):
         if opt.max_matesw > 0:

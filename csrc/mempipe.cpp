@@ -70,6 +70,8 @@ struct Opt {
   int64_t pen_unpaired = 17, max_matesw = 100, max_ins = 10000;
   int64_t skip_pairing = 0;  // -P (bwa MEM_F_NOPAIRING)
   double split_factor, drop_ratio, mask_level, mapq_coef_len, mapq_coef_fac;
+  // -I: explicit FR insert-size distribution (skips mem_pestat)
+  double pe_mean = -1.0, pe_std = -1.0, pe_max = -1.0, pe_min = -1.0;
 };
 
 struct SeedC {
@@ -929,6 +931,11 @@ int64_t cal_sub(const Opt& o, const std::vector<RegionC>& regs) {
   return o.min_seed_len * o.a;
 }
 
+// -I / mem_pestat dispatch: an explicit FR distribution (bwa -I)
+// skips inference; std defaults to 10% of the mean, high/low to
+// mean +- 4 sigma (+.499, low clamped to 1), FF/RF/RR stay failed.
+void compute_pes(const MemPipe& mp, int64_t n_pairs, PEStatC pes[4]);
+
 // pair.py infer_isize (bwa mem_pestat) over the chunk's pairs
 void infer_isize(const MemPipe& mp, int64_t n_pairs, PEStatC pes[4]) {
   const Opt& o = mp.opt;
@@ -991,6 +998,25 @@ void infer_isize(const MemPipe& mp, int64_t n_pairs, PEStatC pes[4]) {
   for (int d = 0; d < 4; ++d)
     if (!pes[d].failed && (int64_t)isize[d].size() < cmax * MIN_DIR_RATIO)
       pes[d].failed = true;
+}
+
+void compute_pes(const MemPipe& mp, int64_t n_pairs, PEStatC pes[4]) {
+  const Opt& o = mp.opt;
+  if (o.pe_mean <= 0) {
+    infer_isize(mp, n_pairs, pes);
+    return;
+  }
+  for (int d = 0; d < 4; ++d) pes[d] = PEStatC();
+  double mean = o.pe_mean;
+  double std = o.pe_std > 0 ? o.pe_std : mean * 0.1;
+  pes[1].failed = false;
+  pes[1].avg = mean;
+  pes[1].std = std;
+  pes[1].high = o.pe_max > 0 ? (int64_t)o.pe_max
+                             : (int64_t)(mean + 4.0 * std + 0.499);
+  pes[1].low = o.pe_min > 0 ? (int64_t)o.pe_min
+                            : (int64_t)(mean - 4.0 * std + 0.499);
+  if (pes[1].low < 1) pes[1].low = 1;
 }
 
 // pair.py mem_pair: returns (score, sub, n_sub, z found?)
@@ -1387,6 +1413,10 @@ void* mp_new(const int64_t* opt_i, const double* opt_d, const int8_t* mat,
   o.split_factor = opt_d[0];
   o.drop_ratio = opt_d[1];
   o.mask_level = opt_d[2];
+  o.pe_mean = opt_d[5];
+  o.pe_std = opt_d[6];
+  o.pe_max = opt_d[7];
+  o.pe_min = opt_d[8];
   o.mapq_coef_len = opt_d[3];
   o.mapq_coef_fac = opt_d[4];
   std::memcpy(mp->mat, mat, 25);
@@ -1892,7 +1922,7 @@ int64_t mp_finalize_pe(void* h, int64_t n_pairs, int64_t nthreads) {
     for (auto& t : ths) t.join();
   }
   PEStatC pes[4];
-  infer_isize(mp, n_pairs, pes);
+  compute_pes(mp, n_pairs, pes);
   std::atomic<int64_t> nextp(0);
   auto pworker = [&]() {
     for (;;) {
@@ -1941,7 +1971,7 @@ void mp_pe_prepare(void* h, int64_t n_pairs, int64_t nthreads) {
     for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
     for (auto& t : ths) t.join();
   }
-  infer_isize(mp, n_pairs, mp.pe_stat);
+  compute_pes(mp, n_pairs, mp.pe_stat);
   mp.pe_npairs = n_pairs;
 }
 

@@ -125,6 +125,24 @@ def test_skip_pairing(world):
     assert f40 >= n and f80 >= n
 
 
+def test_explicit_insert_size(world):
+    """-I mean,std: explicit FR distribution skips pestat inference;
+    native twin == Python twin; in-window pairs still come out proper;
+    a tiny forced window (-I 50,1,60,40) breaks proper pairing for the
+    ~300 bp library."""
+    d, fa, fq1, fq2, ilv, env, n = world
+    nat = _body(_mem(env, "-I", "300,30", str(fa), str(fq1), str(fq2)))
+    py = _body(_mem(env, "-I", "300,30", "--host", "python",
+                    str(fa), str(fq1), str(fq2)))
+    assert nat == py
+    proper = sum(1 for l in nat if int(l.split("\t")[1]) & 0x2)
+    assert proper >= 2 * n * 0.9
+    # mis-specified window: nothing in [40, 60] => no proper pairs
+    off = _body(_mem(env, "-I", "50,1,60,40", str(fa), str(fq1),
+                     str(fq2)))
+    assert all(not (int(l.split("\t")[1]) & 0x2) for l in off)
+
+
 def test_scoring_flags_change_alignment(world):
     """-B/-O/-E reach the kernel: harsher mismatch penalty lowers AS."""
     d, fa, fq1, fq2, ilv, env, n = world
