@@ -119,5 +119,11 @@ def parse_fasta(text: str) -> Reference:
 
 
 def read_fasta(path: str) -> Reference:
-    with open(path) as f:
-        return parse_fasta(f.read())
+    """Read a (possibly gzipped — bwa's kseq reads through zlib) FASTA."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:2] == b"\x1f\x8b":
+        import gzip
+
+        buf = gzip.decompress(buf)
+    return parse_fasta(buf.decode())

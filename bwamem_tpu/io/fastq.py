@@ -56,8 +56,19 @@ def parse_fastq(text: str) -> Iterator[Read]:
             raise ValueError(f"bad record at line {i}: {line[:40]!r}")
 
 
+def _open_seq(path: str):
+    """Binary stream over `path`, transparently gunzipping (bwa's kseq
+    reads through zlib, so .fq.gz / .fa.gz inputs are first-class)."""
+    f = open(path, "rb")
+    if f.peek(2)[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.GzipFile(fileobj=f)
+    return f
+
+
 def read_fastq(path: str) -> list[Read]:
-    with open(path, "rb") as f:
+    with _open_seq(path) as f:
         buf = f.read()
     reads = _read_fastq_native(buf)
     if reads is not None:
@@ -71,8 +82,9 @@ def iter_fastq_chunks(path: str, chunk_reads: int,
     lists of `chunk_reads` reads — the WGS-scale ingest path (the
     reference host streams reads the same way; whole-file slurping is
     kept only for small inputs/tests).  FASTA input (multi-line
-    records) falls back to a whole-file parse."""
-    with open(path, "rb") as f:
+    records) falls back to a whole-file parse.  Gzipped inputs stream
+    through zlib decompression block by block."""
+    with _open_seq(path) as f:
         head = f.read(1)
         if head != b"@":  # FASTA or empty: no 4-line framing
             buf = head + f.read()

@@ -160,6 +160,32 @@ def test_scoring_flags_change_alignment(world):
     assert as_of(harsh) < as_of(base)
 
 
+def test_gzipped_inputs(world):
+    """.fq.gz inputs stream through zlib exactly like plain FASTQ, and
+    a .fa.gz reference indexes identically (bwa's kseq/zlib parity)."""
+    import gzip
+    import shutil
+
+    d, fa, fq1, fq2, ilv, env, n = world
+    gz1 = d / "r1.fq.gz"
+    with open(fq1, "rb") as src, gzip.open(gz1, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    plain = _body(_mem(env, str(fa), str(fq1)))
+    gzed = _body(_mem(env, str(fa), str(gz1)))
+    assert [l.split("\t")[1:] for l in gzed] == \
+        [l.split("\t")[1:] for l in plain]
+
+    fagz = d / "ref2.fa.gz"
+    with open(fa, "rb") as src, gzip.open(fagz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    subprocess.run([sys.executable, "-m", "bwamem_tpu", "index",
+                    str(fagz)], env=env, check=True,
+                   capture_output=True, timeout=300)
+    via_gz = _body(_mem(env, str(fagz), str(fq1)))
+    assert [l.split("\t")[1:] for l in via_gz] == \
+        [l.split("\t")[1:] for l in plain]
+
+
 def test_verbosity_flag(world):
     d, fa, fq1, fq2, ilv, env, n = world
     r = _mem(env, "-v", "0", str(fa), str(fq1))
