@@ -552,6 +552,7 @@ def align_read(opt: MemOptions, ref: Reference, fm, name: str,
     gr = global_results or {}
 
     alns: list[Alignment] = []
+    is_sec: list[bool] = []
     for k, p in enumerate(regions):
         if p.score < opt.T:
             continue
@@ -565,10 +566,32 @@ def align_read(opt: MemOptions, ref: Reference, fm, name: str,
         if alns and q.mapq > alns[0].mapq:
             q.mapq = alns[0].mapq
         alns.append(q)
+        is_sec.append(p.secondary >= 0)
     if not alns:
         return [aln2sam(opt, ref, name, read, qual,
                         Alignment(flag=0x4), None)]
     recs = [aln2sam(opt, ref, name, read, qual, a, alns[0]) for a in alns]
+    # SA:Z (bwa mem_aln2sam, 0.7.6+): every non-secondary record of a
+    # split read lists the OTHER non-secondary hits, cigars in
+    # soft-clip form
+    good = [j for j, a in enumerate(alns)
+            if not is_sec[j] and a.rid >= 0 and a.cigar
+            and not (a.flag & 0x4)]
+    if len(good) > 1:
+        for i, rec in enumerate(recs):
+            if is_sec[i] or alns[i].rid < 0:
+                continue
+            parts = []
+            for j in good:
+                if j == i:
+                    continue
+                a = alns[j]
+                sign = "-" if a.is_rev else "+"
+                parts.append(
+                    f"{ref.contigs[a.rid].name},{a.pos + 1},{sign},"
+                    f"{cigar_to_string(a.cigar)},{a.mapq},{a.nm};")
+            if parts:
+                rec.tags.append(("SA", "Z", "".join(parts)))
     if not opt.flag_a:
         xa = xa_string(opt, ref, read, regions, global_results=gr)
         if xa:

@@ -111,7 +111,7 @@ struct RecordC {
   int64_t ref_span = 0;              // reference length of the cigar
   // paired-end fields: mate_rid == -9 means "single-end record"
   int64_t src_read = -1, mate_rid = -9, pnext0 = -1, tlen = 0;
-  std::string cigar, md, xa;
+  std::string cigar, md, xa, sa;
 };
 
 constexpr int64_t MAX_BAND_TRY = 2;
@@ -859,6 +859,51 @@ void finalize_records(const MemPipe& mp, int64_t ri, PerRead& pr) {
       q.flag |= o.flag_M ? 0x100 : 0x800;
     if (!alns.empty() && q.mapq > alns[0].mapq) q.mapq = alns[0].mapq;
     alns.push_back(std::move(q));
+  }
+  // SA:Z (bwa mem_aln2sam, 0.7.6+): every non-secondary record of a
+  // split read lists the OTHER non-secondary hits as
+  // "rname,pos,strand,cigar,mapq,NM;" (cigar in soft-clip form — the
+  // hard-clip transform happens only at line rendering)
+  {
+    std::vector<char> is_sec(alns.size());
+    int64_t n_good = 0;
+    {
+      size_t ai = 0;
+      for (size_t ki = 0; ki < pr.regions.size() && ai < alns.size();
+           ++ki) {
+        const RegionC& p = pr.regions[ki];
+        if (p.score < o.T) continue;
+        if (p.secondary >= 0 && !o.flag_a) continue;
+        is_sec[ai++] = p.secondary >= 0 ? 1 : 0;
+      }
+    }
+    for (size_t j = 0; j < alns.size(); ++j)
+      if (!is_sec[j] && alns[j].rid >= 0 && !alns[j].cigar.empty() &&
+          !(alns[j].flag & 0x4))
+        ++n_good;
+    if (n_good > 1) {
+      char buf[64];
+      for (size_t i = 0; i < alns.size(); ++i) {
+        if (is_sec[i] || alns[i].rid < 0) continue;
+        std::string sa;
+        for (size_t j = 0; j < alns.size(); ++j) {
+          if (j == i || is_sec[j] || alns[j].rid < 0 ||
+              alns[j].cigar.empty() || (alns[j].flag & 0x4))
+            continue;
+          const RecordC& q = alns[j];
+          sa += mp.ctg_name[q.rid];
+          int n = snprintf(buf, sizeof buf, ",%lld,%c,",
+                           (long long)(q.pos + 1),
+                           q.is_rev ? '-' : '+');
+          sa.append(buf, n);
+          sa += q.cigar;
+          n = snprintf(buf, sizeof buf, ",%lld,%lld;",
+                       (long long)q.mapq, (long long)q.nm);
+          sa.append(buf, n);
+        }
+        alns[i].sa = std::move(sa);
+      }
+    }
   }
   if (alns.empty()) {
     RecordC rec;
@@ -2554,6 +2599,10 @@ static void sam_emit_one(const MemPipe& mp, const RecordC& r,
   }
   s.append("\tAS:i:");
   sam_int(s, r.score);
+  if (!r.sa.empty()) {
+    s.append("\tSA:Z:");
+    s.append(r.sa);
+  }
   if (!r.xa.empty()) {
     s.append("\tXA:Z:");
     s.append(r.xa);
@@ -2571,7 +2620,8 @@ int64_t mp_sam_size(void* h, const int64_t* name_off) {
   for (const auto& pr : mp.per)
     for (const auto& r : pr.records)
       tot += (name_off[r.src_read + 1] - name_off[r.src_read]) +
-             (int64_t)(r.cigar.size() + r.md.size() + r.xa.size()) +
+             (int64_t)(r.cigar.size() + r.md.size() + r.xa.size() +
+                       r.sa.size()) +
              2 * mp.qlen[r.src_read] + 2 * maxctg + 160;
   return tot;
 }

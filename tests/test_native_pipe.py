@@ -544,6 +544,57 @@ def test_fused_idx_n_bases_reference(world):
         [[r.line() for r in rr] for rr in got]
 
 
+def test_sa_tag_split_reads(world):
+    """Chimeric reads (left half from chrA, right half from chrB)
+    produce primary + supplementary records that cross-reference each
+    other via SA:Z (bwa mem_aln2sam); native == Python byte for byte.
+    flag_M off so the split mate keeps 0x800 (with -M it becomes 0x100
+    per bwa but SA still appears — also asserted)."""
+    opt = MemOptions(flag_M=False)
+    ref, fm, po, rng = world
+    reads, names, quals = [], [], []
+    for i in range(12):
+        pa = int(rng.integers(0, 60000))
+        pb = int(rng.integers(72000, 115000))
+        r = np.concatenate([ref.pac[pa:pa + 70],
+                            ref.pac[pb:pb + 70]]).astype(np.int64)
+        reads.append(r)
+        names.append(f"chim{i}")
+        quals.append("I" * len(r))
+    row_fn, raw_t_fn = _backends(opt)
+    want = align_batch(opt, ref, fm, reads, row_fn, names=names,
+                       quals=quals, po=po)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po)
+    got = pipe.align_chunk(reads, raw_t_fn, names=names, quals=quals)
+    assert [[r.line() for r in rr] for rr in want] == \
+        [[r.line() for r in rr] for rr in got]
+    n_sa = n_supp = 0
+    for rr in want:
+        lines = [r.line() for r in rr]
+        for l in lines:
+            flag = int(l.split("\t")[1])
+            if flag & 0x800:
+                n_supp += 1
+            if "\tSA:Z:" in l:
+                n_sa += 1
+                # each SA entry names a real contig and ends with ';'
+                sa = l.split("SA:Z:")[1].split("\t")[0]
+                assert sa.endswith(";")
+                assert sa.split(",")[0] in ("chrA", "chrB")
+    assert n_supp >= 8, n_supp
+    assert n_sa >= 2 * n_supp, (n_sa, n_supp)  # primary + supp both tagged
+
+    # -M: the split hit is remapped to 0x100 but SA survives
+    optM = MemOptions()
+    wantM = align_batch(optM, ref, fm, reads, row_fn, names=names,
+                        quals=quals, po=po)
+    pipeM = native_driver.NativePipeline(optM, ref, fm, po)
+    gotM = pipeM.align_chunk(reads, raw_t_fn, names=names, quals=quals)
+    assert [[r.line() for r in rr] for rr in wantM] == \
+        [[r.line() for r in rr] for rr in gotM]
+    assert sum("\tSA:Z:" in r.line() for rr in wantM for r in rr) >= 16
+
+
 def test_chunk_text_blob_parity(world):
     """align_chunk_text / align_pairs_chunk_text (the zero-object emit
     fast path) == the per-record SamLine output, byte for byte."""
