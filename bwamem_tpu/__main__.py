@@ -165,14 +165,26 @@ def cmd_mem(args) -> int:
                         iter_fastq_chunks(args.mates, args.b))
     else:
         chunks = iter_fastq_chunks(args.reads, args.b)
+    use_native = (args.host != "python" and args.backend != "scalar"
+                  and native_driver.available())
     out = sys.stdout
     out.write(sam_header(ref.contigs, rg_line=args.R,
                          pg_cl=" ".join(sys.argv)))
+    # bwa attaches RG:Z:<ID> to every record when -R carries an ID
+    rg_id = None
+    if args.R:
+        for f in args.R.replace("\\t", "\t").split("\t"):
+            if f.startswith("ID:"):
+                rg_id = f[3:]
+                break
 
     def emit(rec, comments=None) -> None:
         """Write one record; -C appends the FASTQ comment of the end
         the record belongs to (bwa appends it verbatim)."""
         line = rec.line()
+        if rg_id and not use_native:
+            # native records already carry RG:Z via mp_set_rg
+            line += "\tRG:Z:" + rg_id
         if comments is not None:
             cm = comments[1] if (rec.flag & 0x80) else comments[0]
             if cm:
@@ -190,8 +202,6 @@ def cmd_mem(args) -> int:
         from bwamem_tpu.utils.checkpoint import Manifest, ReadRange
 
         manifest = Manifest(args.resume)
-    use_native = (args.host != "python" and args.backend != "scalar"
-                  and native_driver.available())
     if args.host == "native" and not use_native:
         sys.stderr.write("[mem] --host native unavailable; "
                          "falling back to python host\n")
@@ -236,6 +246,8 @@ def cmd_mem(args) -> int:
             pipe = native_driver.NativePipeline(opt, ref, fm, po,
                                                 nthreads=args.t,
                                                 tracer=tracer)
+            if rg_id:
+                pipe.set_rg(rg_id)
             backend_fn = None
         else:
             backend_fn = make_extend_backend(opt, args.backend)
@@ -305,6 +317,9 @@ def cmd_mem(args) -> int:
                                               nthreads=args.t,
                                               tracer=tracer)
                  for _ in range(depth)]
+        if rg_id:
+            for p_ in pipes:
+                p_.set_rg(rg_id)
 
         def run_chunk(ci, chunk):
             pipe_ = pipes[ci % len(pipes)]

@@ -321,6 +321,8 @@ def _bind_mempipe(lib):
     lib.mp_region_count.argtypes = [ctypes.c_void_p, i64]
     lib.mp_export_regions.restype = None
     lib.mp_export_regions.argtypes = [ctypes.c_void_p, p64]
+    lib.mp_set_rg.restype = None
+    lib.mp_set_rg.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.mp_chunk_end.restype = None
     lib.mp_chunk_end.argtypes = [ctypes.c_void_p]
 

@@ -91,6 +91,10 @@ class NativePipeline:
             self._va.ctypes.data_as(_PU32), self._ssa.ctypes.data_as(_P64),
             len(self._ssa), int(fm.sa_intv))
 
+    def set_rg(self, rg_id: str) -> None:
+        """-R: every record this handle emits carries RG:Z:<rg_id>."""
+        self.lib.mp_set_rg(self.h, rg_id.encode())
+
     def __del__(self):
         if getattr(self, "h", None):
             self.lib.mp_free(self.h)

@@ -180,6 +180,7 @@ struct MemPipe {
   // across all pairs preserves bwa's per-pair sequential-anchor
   // semantics exactly (each anchor's skip test sees the regions
   // appended by waves 0..k-1).
+  std::string rg_id;  // -R read group: RG:Z:<id> on every record
   PEStatC pe_stat[4];
   int64_t pe_npairs = 0;
   std::vector<std::vector<RegionC>> rescue_anchors;  // per pair, one end
@@ -2599,6 +2600,10 @@ static void sam_emit_one(const MemPipe& mp, const RecordC& r,
   }
   s.append("\tAS:i:");
   sam_int(s, r.score);
+  if (!mp.rg_id.empty()) {
+    s.append("\tRG:Z:");
+    s.append(mp.rg_id);
+  }
   if (!r.sa.empty()) {
     s.append("\tSA:Z:");
     s.append(r.sa);
@@ -2622,7 +2627,8 @@ int64_t mp_sam_size(void* h, const int64_t* name_off) {
       tot += (name_off[r.src_read + 1] - name_off[r.src_read]) +
              (int64_t)(r.cigar.size() + r.md.size() + r.xa.size() +
                        r.sa.size()) +
-             2 * mp.qlen[r.src_read] + 2 * maxctg + 160;
+             2 * mp.qlen[r.src_read] + 2 * maxctg + 160 +
+             (int64_t)mp.rg_id.size();
   return tot;
 }
 
@@ -2680,6 +2686,12 @@ void mp_emit_sam(void* h, const char* names, const int64_t* name_off,
     group[i] = refs[i].g;
   }
   line_off[refs.size()] = off;
+}
+
+// -R: set the read-group ID once per handle; every emitted record
+// then carries RG:Z:<id> (bwa adds it in mem_aln2sam when -R has ID:).
+void mp_set_rg(void* h, const char* id) {
+  static_cast<MemPipe*>(h)->rg_id = id ? id : "";
 }
 
 void mp_chunk_end(void* h) {

@@ -186,6 +186,24 @@ def test_gzipped_inputs(world):
         [l.split("\t")[1:] for l in plain]
 
 
+def test_read_group(world):
+    """-R '@RG\\tID:x\\t...' emits the @RG header AND RG:Z:x on every
+    record (bwa attaches it in mem_aln2sam); native text path, native
+    -C object path and python host all agree."""
+    d, fa, fq1, fq2, ilv, env, n = world
+    rg = r"@RG\tID:grp1\tSM:s1"
+    for extra in ((), ("-C",), ("--host", "python")):
+        r = _mem(env, "-R", rg, *extra, str(fa), str(fq1))
+        hdr = [l for l in r.stdout.splitlines() if l.startswith("@RG")]
+        assert hdr == ["@RG\tID:grp1\tSM:s1"], (extra, hdr)
+        body = _body(r)
+        assert body and all(
+            l.count("\tRG:Z:grp1") == 1 for l in body), extra
+    # PE path too
+    r = _mem(env, "-R", rg, str(fa), str(fq1), str(fq2))
+    assert all(l.count("\tRG:Z:grp1") == 1 for l in _body(r))
+
+
 def test_verbosity_flag(world):
     d, fa, fq1, fq2, ilv, env, n = world
     r = _mem(env, "-v", "0", str(fa), str(fq1))
