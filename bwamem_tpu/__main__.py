@@ -28,7 +28,9 @@ def cmd_index(args) -> int:
         f"[index] {len(ref.contigs)} contig(s), {ref.l_pac} bp\n")
     fm = build_index(ref.pac, sa_intv=args.sa_intv)
     out = args.fasta + ".bwt.npz"
-    np.savez_compressed(
+    # uncompressed: zlib over a GRCh38-scale index costs many minutes
+    # and bwa's own index files are raw; np.load reads either format
+    np.savez(
         out,
         l_pac=fm.l_pac, seq_len2=fm.seq_len2, primary=fm.primary,
         C=fm.C, bwt=fm.bwt, occ_cp=fm.occ_cp, sa_intv=fm.sa_intv,

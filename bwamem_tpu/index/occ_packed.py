@@ -67,6 +67,13 @@ def pack_occ(fm: FMIndex) -> PackedOcc:
             axis=1, dtype=np.uint32)
         va[w0:w0 + lanes.shape[0]] = (valid << shifts).sum(
             axis=1, dtype=np.uint32)
+    # int32 checkpoint ranks cap per-symbol counts at 2^31-1: fine up
+    # to ~8.6 Gsym of balanced two-strand text (GRCh38 is 6.2 Gsym with
+    # counts ~1.55e9) — fail loudly rather than overflow silently
+    if int(fm.occ_cp[:4].max()) >= (1 << 31):
+        raise OverflowError(
+            "occ checkpoint exceeds int32 — reference too large for "
+            "the packed rank layout")
     occ_rows = np.ascontiguousarray(fm.occ_cp[:4].T).astype(np.int32)
     if occ_rows.shape[0] < nb + 1:
         occ_rows = np.pad(occ_rows,
