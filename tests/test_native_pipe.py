@@ -622,6 +622,36 @@ def test_chunk_text_blob_parity(world):
     assert nrec_pe == sum(len(rr) for rr in want_pe)
 
 
+def test_pe_text_with_idx_rescue(world):
+    """The zero-object PE text path composed with resident-reference
+    device rescue (the stress-bench configuration) == the per-record
+    path, byte for byte, with rescue actually firing."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 30)
+    for i in range(0, 30, 6):
+        r2s[i] = revcomp_read(r2s[i])  # discordant: rescue fires
+    row_fn, raw_t_fn = _backends(opt)
+    resc = native_driver.make_rescue_idx_backend(ref.pac)
+    calls = []
+
+    def counting(*a):
+        calls.append(a[1].shape)
+        return resc(*a)
+
+    counting.idx = True
+    want = native_driver.NativePipeline(
+        opt, ref, fm, po).align_pairs_chunk(r1s, r2s, raw_t_fn,
+                                            rescue_fn=counting)
+    want_text = "".join(r.line() + "\n" for rr in want for r in rr)
+    text, nrec = native_driver.NativePipeline(
+        opt, ref, fm, po).align_pairs_chunk_text(r1s, r2s, raw_t_fn,
+                                                 rescue_fn=counting)
+    assert calls, "no rescue wave fired — vacuous comparison"
+    assert text == want_text
+    assert nrec == sum(len(rr) for rr in want)
+
+
 def test_regions_match_compute_regions(world):
     """regions_chunk == the Python compute_regions pipeline (PE input)."""
     from bwamem_tpu.pipeline.align import compute_regions
