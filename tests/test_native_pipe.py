@@ -652,6 +652,91 @@ def test_pe_text_with_idx_rescue(world):
     assert nrec == sum(len(rr) for rr in want)
 
 
+def test_native_random_options_fuzz(world):
+    """Native SAM == Python SAM under randomized MemOptions (scoring,
+    seed length, band, zdrop) — the runtime-parameter plumbing holds
+    across the whole option space, not just defaults."""
+    ref, fm, po, rng = world
+    for trial in range(3):
+        opt = MemOptions(
+            a=int(rng.integers(1, 3)),
+            b=int(rng.integers(2, 7)),
+            o_del=int(rng.integers(4, 9)),
+            e_del=int(rng.integers(1, 3)),
+            o_ins=int(rng.integers(4, 9)),
+            e_ins=int(rng.integers(1, 3)),
+            w=int(rng.integers(40, 150)),
+            zdrop=int(rng.integers(50, 200)),
+            min_seed_len=int(rng.integers(15, 25)),
+            T=int(rng.integers(20, 40)),
+            flag_M=bool(rng.integers(0, 2)),
+            flag_a=bool(rng.integers(0, 2)),
+        )
+        reads, names, quals = make_reads(rng, ref, 20)
+        row_fn, raw_t_fn = _backends(opt)
+        want = align_batch(opt, ref, fm, reads, row_fn, names=names,
+                           quals=quals, po=po)
+        pipe = native_driver.NativePipeline(opt, ref, fm, po)
+        got = pipe.align_chunk(reads, raw_t_fn, names=names, quals=quals)
+        assert [[r.line() for r in rr] for rr in want] == \
+            [[r.line() for r in rr] for rr in got], f"trial {trial}: {opt}"
+
+
+def test_pe_mixed_read_lengths(world):
+    """PE with different read lengths per end (150 vs 100 bp) and per
+    pair: padding in the read matrix, TLEN and rescue windows stay
+    correct; native == Python."""
+    from bwamem_tpu.pipeline.pair import align_pairs
+
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = [], []
+    for i in range(16):
+        l1 = int(rng.integers(80, 151))
+        l2 = int(rng.integers(60, 121))
+        pos = int(rng.integers(0, ref.l_pac - 500))
+        a = ref.pac[pos:pos + l1].astype(np.int64).copy()
+        b = revcomp_read(ref.pac[pos + 300 - l2:pos + 300]
+                         .astype(np.int64))
+        p = int(rng.integers(0, l1))
+        a[p] = (a[p] + 1) % 4
+        r1s.append(a)
+        r2s.append(b)
+    row_fn, raw_t_fn = _backends(opt)
+    want = align_pairs(opt, ref, fm, r1s, r2s, po=po,
+                       extend_batch_fn=row_fn)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po)
+    got = pipe.align_pairs_chunk(r1s, r2s, raw_t_fn)
+    assert [[r.line() for r in x] for x in want] == \
+        [[r.line() for r in x] for x in got]
+
+
+def test_tiny_and_unmappable_reads(world):
+    """Reads below the seed length, all-N reads and random (unmappable)
+    reads flow through the native pipeline as unmapped records without
+    crashing; native == Python."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    reads = [
+        ref.pac[100:115].astype(np.int64),           # 15 bp < k
+        np.full(50, 4, np.int64),                     # all N
+        rng.integers(0, 4, 120).astype(np.int64),     # random junk
+        ref.pac[500:620].astype(np.int64),            # mappable control
+    ]
+    names = [f"edge{i}" for i in range(len(reads))]
+    quals = [None] * len(reads)
+    row_fn, raw_t_fn = _backends(opt)
+    want = align_batch(opt, ref, fm, reads, row_fn, names=names,
+                       quals=quals, po=po)
+    pipe = native_driver.NativePipeline(opt, ref, fm, po)
+    got = pipe.align_chunk(reads, raw_t_fn, names=names, quals=quals)
+    assert [[r.line() for r in rr] for rr in want] == \
+        [[r.line() for r in rr] for rr in got]
+    flags = [want[0][0].flag, want[1][0].flag]
+    assert all(f & 0x4 for f in flags), flags  # tiny + all-N unmapped
+    assert not (want[3][0].flag & 0x4)
+
+
 def test_regions_match_compute_regions(world):
     """regions_chunk == the Python compute_regions pipeline (PE input)."""
     from bwamem_tpu.pipeline.align import compute_regions
