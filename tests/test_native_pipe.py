@@ -652,6 +652,25 @@ def test_pe_text_with_idx_rescue(world):
     assert nrec == sum(len(rr) for rr in want)
 
 
+def test_pe_text_with_idx_cigar(world):
+    """The zero-object PE text path composed with resident-reference
+    device CIGAR rounds == the per-record path, byte for byte."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    r1s, r2s = _pe_world(rng, ref, 16)
+    row_fn, raw_t_fn = _backends(opt)
+    cig = native_driver.make_cigar_idx_backend(ref.pac)
+    want = native_driver.NativePipeline(
+        opt, ref, fm, po).align_pairs_chunk(r1s, r2s, raw_t_fn,
+                                            cigar_fn=cig)
+    want_text = "".join(r.line() + "\n" for rr in want for r in rr)
+    text, nrec = native_driver.NativePipeline(
+        opt, ref, fm, po).align_pairs_chunk_text(r1s, r2s, raw_t_fn,
+                                                 cigar_fn=cig)
+    assert text == want_text
+    assert nrec == sum(len(rr) for rr in want)
+
+
 def test_native_random_options_fuzz(world):
     """Native SAM == Python SAM under randomized MemOptions (scoring,
     seed length, band, zdrop) — the runtime-parameter plumbing holds
