@@ -671,6 +671,38 @@ def test_pe_text_with_idx_cigar(world):
     assert nrec == sum(len(rr) for rr in want)
 
 
+def test_fused_idx_boundary_positions(world):
+    """Reads anchored at the very start/end of the reference (left
+    target walks hit two-strand position 0 / 2*l_pac-1): ship ==
+    idx(1D) == idx(2D forced), byte for byte."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    pac = ref.pac
+    L = len(pac)
+    reads = [
+        pac[0:100].astype(np.int64),
+        revcomp_read(pac[0:100].astype(np.int64)),
+        pac[L - 100:L].astype(np.int64),
+        revcomp_read(pac[L - 100:L].astype(np.int64)),
+    ]
+    for i, r in enumerate(reads):
+        r = r.copy()
+        r[50] = (r[50] + 1) % 4
+        reads[i] = r
+    ship = native_driver.make_fused_backend(_params(opt), blk_l=128,
+                                            interpret=True)
+    idx = native_driver.make_fused_idx_backend(
+        _params(opt), pac, blk_l=128, interpret=True)
+    idx2 = native_driver.make_fused_idx_backend(
+        _params(opt), pac, blk_l=128, interpret=True, force_2d=True)
+    outs = []
+    for fn in (ship, idx, idx2):
+        pipe = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128)
+        outs.append([[r.line() for r in rr]
+                     for rr in pipe.align_chunk(reads, fn)])
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_native_random_options_fuzz(world):
     """Native SAM == Python SAM under randomized MemOptions (scoring,
     seed length, band, zdrop) — the runtime-parameter plumbing holds
