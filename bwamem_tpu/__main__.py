@@ -238,6 +238,19 @@ def cmd_mem(args) -> int:
         else:  # resident-reference waves: meta-only H2D
             rescue_fn = native_driver.make_rescue_idx_backend(
                 text_dev=text_dev)
+    seed_fn = None
+    if args.device_seed:
+        if not use_native or args.backend == "scalar":
+            sys.stderr.write("[mem] --device-seed needs the native host "
+                             "and a device backend; ignored here\n")
+        elif int(po.n_rows) >= 1 << 31:
+            sys.stderr.write("[mem] --device-seed: reference too large "
+                             "for int32 device positions; using host "
+                             "seeding\n")
+        else:
+            from bwamem_tpu.ops.smem_jax import make_device_seeder
+
+            seed_fn = make_device_seeder(po, fm, opt)
     if pair_iter is not None:
         if use_native:
             # full PE chunk in C++: pestat, mate rescue, pairing, sam_pe
@@ -248,6 +261,7 @@ def cmd_mem(args) -> int:
             pipe = native_driver.NativePipeline(opt, ref, fm, po,
                                                 nthreads=args.t,
                                                 tracer=tracer)
+            pipe.seed_fn = seed_fn
             if rg_id:
                 pipe.set_rg(rg_id)
             backend_fn = None
@@ -319,6 +333,8 @@ def cmd_mem(args) -> int:
                                               nthreads=args.t,
                                               tracer=tracer)
                  for _ in range(depth)]
+        for p_ in pipes:
+            p_.seed_fn = seed_fn
         if rg_id:
             for p_ in pipes:
                 p_.set_rg(rg_id)
@@ -503,6 +519,10 @@ def main(argv=None) -> int:
     mem.add_argument("--device-rescue", action="store_true",
                      help="run mem_matesw mate-rescue local SW batched "
                           "on device (native PE path; ops/local_jax)")
+    mem.add_argument("--device-seed", action="store_true",
+                     help="run SMEM seeding + SA lookups on device "
+                          "(ops/smem_jax; for CPU-starved hosts; "
+                          "references < 2^31 two-strand symbols)")
     mem.set_defaults(fn=cmd_mem)
 
     args = ap.parse_args(argv)

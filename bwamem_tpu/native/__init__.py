@@ -245,6 +245,9 @@ def _bind_mempipe(lib):
     lib.mp_free.argtypes = [ctypes.c_void_p]
     lib.mp_chunk_start.restype = i64
     lib.mp_chunk_start.argtypes = [ctypes.c_void_p, p8, p64, i64, i64, i64]
+    lib.mp_chunk_start_seeded.restype = i64
+    lib.mp_chunk_start_seeded.argtypes = [ctypes.c_void_p, p8, p64, i64,
+                                          i64, p64, i64, i64]
     lib.mp_task_count.restype = i64
     lib.mp_task_count.argtypes = [ctypes.c_void_p]
     lib.mp_task_dims.restype = None

@@ -11,16 +11,19 @@ emission run as masked one-hot scatters over static slot axes
 algorithm as index/smem_batch.smem1_batch, whose numpy body is the
 tested host twin; outputs are bit-equal (tests/test_smem_jax.py).
 
-DECISION (round 2, unchanged): PRODUCTION seeding stays on the HOST in
-C++ (csrc/smem.cpp).  Measured at scale (bench/index_scale.py) the
+DECISION (round 2): the DEFAULT production seeding stays on the HOST
+in C++ (csrc/smem.cpp).  Measured at scale (bench/index_scale.py) the
 native engine sustains tens of thousands of reads/s at gigabase
 genomes while overlapping with device extension; a device SMEM
 serializes dependent HBM gathers per extension step (the classic
 FM-index latency chain) and contends with the extension kernel for the
 chip.  The reference's seeding also runs host-side on CPU threads
-(SURVEY.md §0).  This module is the working device-resident
-alternative for pods where host CPU, not the chip, is the scarce
-resource.
+(SURVEY.md §0).  For pods where host CPU, not the chip, is the scarce
+resource, the device path is production-SELECTABLE: `--device-seed`
+(CLI) / `make_device_seeder` (NativePipeline.seed_fn) runs the chunk's
+SMEM search AND the SA-materialization walks on device, emitting seed
+rows byte-identical to the C++ engine's (tests/test_device_seed.py)
+into mp_chunk_start_seeded.
 
 Limit: positions are int32 on device (jax x64 stays off), so the
 device path covers two-strand texts < 2^31 symbols (~1 Gb genomes);
@@ -36,6 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bwamem_tpu.index.occ_packed import (
+    OCC_BLOCK,
+    WORD_SYMS,
     PackedOcc,
     extend_backward4 as _eb4,
     extend_forward4 as _ef4,
@@ -344,3 +349,130 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
     for b in range(B):
         mems[b].sort(key=lambda m: (m.qb, m.qe))
     return mems
+
+
+# ---------------------------------------------------------------------
+# batched bwt_sa on device + full seed materialization
+# ---------------------------------------------------------------------
+
+def _sa_kernel(occ_rows, pk_rows, va_rows, C, primary, n_rows, ssa,
+               sa_intv, rows):
+    """Jittable batched bwt_sa (occ_packed.sa_value_batch's device twin):
+    masked lockstep LF-walks under `lax.while_loop` until every lane
+    hits the primary row or a row-sampled SA entry.  rows int32 (N,);
+    returns text positions int32 (N,).  Each LF step is one batched
+    symbol lookup + rank4 against the HBM-resident packed tables —
+    the same dependent-gather chain as csrc/smem.cpp sa_value, run
+    across the whole batch at once."""
+    po = _Shim(occ_rows, pk_rows, va_rows, None, primary, n_rows)
+    r0 = rows.astype(jnp.int32)
+    zero = jnp.zeros_like(r0)
+    n_ssa = ssa.shape[0]
+    # walks are only EXPECTED to take ~sa_intv steps; bound by n_rows
+    max_it = min(int(n_rows) + 1, (1 << 31) - 1)
+
+    def cond(c):
+        _r, _d, _val, done, it = c
+        return jnp.logical_and(~jnp.all(done), it < max_it)
+
+    def body(c):
+        r, d, val, done, it = c
+        hitp = ~done & (r == primary)
+        val = jnp.where(hitp, d, val)
+        done = done | hitp
+        sampled = ~done & (r % sa_intv == 0)
+        val = jnp.where(sampled, ssa[(r // sa_intv) % n_ssa] + d, val)
+        done = done | sampled
+        # LF step: symbol at row r from the packed words
+        blk = r // OCC_BLOCK
+        off = r - blk * OCC_BLOCK
+        w = pk_rows[blk, off // WORD_SYMS]
+        lane = (off % WORD_SYMS).astype(jnp.uint32)
+        sym = ((w >> (2 * lane)) & 3).astype(jnp.int32)
+        vbit = ((va_rows[blk, off // WORD_SYMS] >> (2 * lane)) & 1
+                ).astype(jnp.int32)
+        rk4 = _rank4(po, r, jnp)
+        rankc = jnp.take_along_axis(rk4, sym[..., None], axis=-1)[..., 0]
+        n_before = (r - rk4.sum(axis=-1)
+                    - (r > primary).astype(jnp.int32))
+        c_idx = jnp.where(vbit == 1, sym, 4)
+        rankc = jnp.where(vbit == 1, rankc, n_before)
+        newr = (C[c_idx] + rankc).astype(jnp.int32)
+        r = jnp.where(done, r, newr)
+        d = jnp.where(done, d, d + 1)
+        return (r, d, val, done, it + 1)
+
+    c0 = (r0, zero, zero, jnp.zeros(r0.shape, bool), jnp.int32(0))
+    return jax.lax.while_loop(cond, body, c0)[2]
+
+
+def make_sa_batch_device(d: DeviceOcc, ssa, sa_intv: int):
+    """Returns a jitted rows→positions batched SA lookup with the occ
+    tables and the sampled SA resident on device.  int32 positions —
+    same <2^31-symbol limit as the rest of the device seeding path."""
+    if int(d.n_rows) >= 1 << 31:
+        raise ValueError("device SA lookup requires n_rows < 2^31")
+    ssa_d = jnp.asarray(np.asarray(ssa, np.int64).astype(np.int32))
+    fn = functools.partial(_sa_kernel, d.occ_rows, d.pk_rows, d.va_rows,
+                           d.C, int(d.primary), int(d.n_rows), ssa_d,
+                           int(sa_intv))
+    return jax.jit(fn)
+
+
+def collect_seeds_device(d: DeviceOcc, fm, reads, min_seed_len: int,
+                         split_len: int, split_width: int, max_occ: int,
+                         sa_fn=None):
+    """Device-side seeding end to end: SMEM search + SA materialization
+    on the chip, emitting (n, 4) int64 rows {read_idx, rbeg, qbeg, len}
+    in the EXACT order csrc/smem.cpp bwamem_collect_seeds produces them
+    — so NativePipeline.mp_chunk_start_seeded can consume either
+    seeder's output interchangeably (pinned by tests/test_device_seed).
+
+    The occurrence subsampling is bwa's mem.c rule: step = s // max_occ
+    when s > max_occ, k = 0, step, 2·step, ... capped at max_occ."""
+    if sa_fn is None:
+        sa_fn = make_sa_batch_device(d, fm.ssa, fm.sa_intv)
+    mems = collect_smems_device(d, fm, reads, min_seed_len, split_len,
+                                split_width)
+    rows: list[int] = []
+    meta: list[tuple[int, int, int]] = []
+    for ri, ms in enumerate(mems):
+        for m in ms:
+            step = m.s // max_occ if m.s > max_occ else 1
+            cnt = 0
+            k = 0
+            while k < m.s and cnt < max_occ:
+                rows.append(m.x0 + k)
+                meta.append((ri, m.qb, m.qe - m.qb))
+                k += step
+                cnt += 1
+    if not rows:
+        return np.zeros((0, 4), np.int64)
+    n = len(rows)
+    cap = 1 << max(8, (n - 1).bit_length())  # shape-bucketed: rare re-jits
+    padded = np.zeros(cap, np.int32)
+    padded[:n] = np.asarray(rows, np.int64).astype(np.int32)
+    vals = np.asarray(sa_fn(jnp.asarray(padded)))[:n]
+    out = np.empty((n, 4), np.int64)
+    out[:, 0] = [t[0] for t in meta]
+    out[:, 1] = vals
+    out[:, 2] = [t[1] for t in meta]
+    out[:, 3] = [t[2] for t in meta]
+    return out
+
+
+def make_device_seeder(po: PackedOcc, fm, opt):
+    """The production hook: a `seed_fn(reads) -> (n, 4) int64 rows`
+    closure for NativePipeline.seed_fn / the CLI's --device-seed.
+    Builds the DeviceOcc + jitted SA lookup once; each call runs the
+    chunk's SMEM search and SA walks on the device."""
+    d = DeviceOcc(po)
+    sa_fn = make_sa_batch_device(d, fm.ssa, fm.sa_intv)
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+
+    def seed_fn(reads):
+        return collect_seeds_device(
+            d, fm, reads, opt.min_seed_len, split_len, opt.split_width,
+            opt.max_occ, sa_fn=sa_fn)
+
+    return seed_fn

@@ -54,6 +54,9 @@ class NativePipeline:
         self.blk_l = blk_l
         self.tracer = tracer  # utils.metrics.Tracer (the DSM/perf-counter
         #                       analogue, bwa_mem_sw.v:93-101); None = off
+        self.seed_fn = None  # optional reads -> (n,4) int64 seed rows
+        #                      (ops/smem_jax.make_device_seeder); None =
+        #                      native C++ SMEM engine inside mp_chunk_start
         # keep every array alive for the lifetime of the handle
         self._opt_i = np.array([
             opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
@@ -113,9 +116,18 @@ class NativePipeline:
         self._reads_mat = mat  # keep alive: C++ keeps pointers
         self._reads_nib = None  # lazy per-chunk nibble-packed copy
         self._qlen = qlen
-        rc = self.lib.mp_chunk_start(
-            self.h, mat.ctypes.data_as(_P8), qlen.ctypes.data_as(_P64),
-            n, L, self.nthreads)
+        if self.seed_fn is not None:
+            # device-side seeding (ops/smem_jax): ship the seed rows in,
+            # skip the C++ SMEM engine
+            rows = np.ascontiguousarray(self.seed_fn(reads), np.int64)
+            rc = self.lib.mp_chunk_start_seeded(
+                self.h, mat.ctypes.data_as(_P8),
+                qlen.ctypes.data_as(_P64), n, L,
+                rows.ctypes.data_as(_P64), rows.shape[0], self.nthreads)
+        else:
+            rc = self.lib.mp_chunk_start(
+                self.h, mat.ctypes.data_as(_P8),
+                qlen.ctypes.data_as(_P64), n, L, self.nthreads)
         if rc != 0:
             raise RuntimeError("mp_chunk_start failed")
 

@@ -1489,11 +1489,12 @@ void* mp_new(const int64_t* opt_i, const double* opt_d, const int8_t* mat,
 
 void mp_free(void* h) { delete static_cast<MemPipe*>(h); }
 
-// Seed + chain + plan the left-extension tasks for a chunk of reads.
-// Returns 0, or -1 on seed-capacity failure.
-int64_t mp_chunk_start(void* h, const uint8_t* reads, const int64_t* qlen,
-                       int64_t n_reads, int64_t L, int64_t nthreads) {
-  MemPipe& mp = *static_cast<MemPipe*>(h);
+namespace {
+
+// Chunk-header setup shared by the host-seeded and externally-seeded
+// entry points.
+void chunk_init(MemPipe& mp, const uint8_t* reads, const int64_t* qlen,
+                int64_t n_reads, int64_t L) {
   mp.reads = reads;
   mp.n_reads = n_reads;
   mp.L = L;
@@ -1501,6 +1502,56 @@ int64_t mp_chunk_start(void* h, const uint8_t* reads, const int64_t* qlen,
   mp.per.assign(n_reads, PerRead());
   mp.phase = 0;
   mp.pass_k = 0;
+}
+
+// Chain + plan (threaded over reads) and build the left-task list —
+// the tail of chunk start, independent of where the seeds came from.
+void chunk_chain_plan(MemPipe& mp,
+                      std::vector<std::vector<SeedC>>& seeds,
+                      int64_t nthreads) {
+  int64_t n_reads = mp.n_reads;
+  int nt = std::max((int)nthreads, 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t ri = next.fetch_add(1);
+      if (ri >= n_reads) break;
+      PerRead& pr = mp.per[ri];
+      if (!seeds[ri].empty())
+        chain_read(mp, seeds[ri].data(), (int64_t)seeds[ri].size(),
+                   pr.chains);
+      plan_read(mp, ri, pr);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  // current task list = all LEFT tasks, sorted by -tlen (stable)
+  mp.cur.clear();
+  for (int64_t ri = 0; ri < n_reads; ++ri)
+    for (size_t ti = 0; ti < mp.per[ri].tasks.size(); ++ti)
+      if (mp.per[ri].tasks[ti].side == 0)
+        mp.cur.push_back({(int32_t)ri, (int32_t)ti});
+  std::stable_sort(mp.cur.begin(), mp.cur.end(),
+                   [&](const std::pair<int32_t, int32_t>& x,
+                       const std::pair<int32_t, int32_t>& y) {
+                     return mp.per[x.first].tasks[x.second].tlen >
+                            mp.per[y.first].tasks[y.second].tlen;
+                   });
+}
+
+}  // namespace
+
+// Seed + chain + plan the left-extension tasks for a chunk of reads.
+// Returns 0, or -1 on seed-capacity failure.
+int64_t mp_chunk_start(void* h, const uint8_t* reads, const int64_t* qlen,
+                       int64_t n_reads, int64_t L, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  chunk_init(mp, reads, qlen, n_reads, L);
 
   // seeding via the native SMEM engine, threaded over read ranges (the
   // rank-query chain is memory-latency bound; independent reads scale)
@@ -1546,39 +1597,31 @@ int64_t mp_chunk_start(void* h, const uint8_t* reads, const int64_t* qlen,
     for (auto& t : sths) t.join();
   }
   if (seed_fail.load()) return -1;
-  // chain + plan, threaded over reads
-  int nt = std::max((int)nthreads, 1);
-  std::atomic<int64_t> next(0);
-  auto worker = [&]() {
-    for (;;) {
-      int64_t ri = next.fetch_add(1);
-      if (ri >= n_reads) break;
-      PerRead& pr = mp.per[ri];
-      if (!seeds[ri].empty())
-        chain_read(mp, seeds[ri].data(), (int64_t)seeds[ri].size(),
-                   pr.chains);
-      plan_read(mp, ri, pr);
-    }
-  };
-  if (nt == 1) {
-    worker();
-  } else {
-    std::vector<std::thread> ths;
-    for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
-    for (auto& t : ths) t.join();
+  chunk_chain_plan(mp, seeds, nthreads);
+  return 0;
+}
+
+// mp_chunk_start with the seeds supplied by the caller instead of the
+// native SMEM engine — the entry point for DEVICE-side seeding
+// (ops/smem_jax.collect_seeds_device produces the same
+// {read_idx, rbeg, qbeg, len} rows as bwamem_collect_seeds, so the two
+// paths are interchangeable upstream of chaining).  seed_rows: (n, 4)
+// int64, any read order, but rows of one read must keep the seeder's
+// emission order (chain_read is order-sensitive exactly like bwa's
+// mem_chain).  Returns 0, or -1 on an out-of-range read index.
+int64_t mp_chunk_start_seeded(void* h, const uint8_t* reads,
+                              const int64_t* qlen, int64_t n_reads,
+                              int64_t L, const int64_t* seed_rows,
+                              int64_t n_seed_rows, int64_t nthreads) {
+  MemPipe& mp = *static_cast<MemPipe*>(h);
+  chunk_init(mp, reads, qlen, n_reads, L);
+  std::vector<std::vector<SeedC>> seeds(n_reads);
+  for (int64_t k = 0; k < n_seed_rows; ++k) {
+    const int64_t* row = seed_rows + k * 4;
+    if (row[0] < 0 || row[0] >= n_reads) return -1;
+    seeds[row[0]].push_back(SeedC{row[1], row[2], row[3]});
   }
-  // current task list = all LEFT tasks, sorted by -tlen (stable)
-  mp.cur.clear();
-  for (int64_t ri = 0; ri < n_reads; ++ri)
-    for (size_t ti = 0; ti < mp.per[ri].tasks.size(); ++ti)
-      if (mp.per[ri].tasks[ti].side == 0)
-        mp.cur.push_back({(int32_t)ri, (int32_t)ti});
-  std::stable_sort(mp.cur.begin(), mp.cur.end(),
-                   [&](const std::pair<int32_t, int32_t>& x,
-                       const std::pair<int32_t, int32_t>& y) {
-                     return mp.per[x.first].tasks[x.second].tlen >
-                            mp.per[y.first].tasks[y.second].tlen;
-                   });
+  chunk_chain_plan(mp, seeds, nthreads);
   return 0;
 }
 

@@ -93,6 +93,20 @@ def test_interleaved_matches_two_file(world):
     assert len(one) >= 2 * n
 
 
+def test_device_seed_matches_host_seed(world):
+    """--device-seed (SMEM + SA walks on device, mp_chunk_start_seeded)
+    emits byte-identical SAM to the default C++ host seeding, SE and
+    PE."""
+    d, fa, fq1, fq2, ilv, env, n = world
+    se_host = _body(_mem(env, str(fa), str(fq1)))
+    se_dev = _body(_mem(env, "--device-seed", str(fa), str(fq1)))
+    assert se_dev == se_host
+    pe_host = _body(_mem(env, str(fa), str(fq1), str(fq2)))
+    pe_dev = _body(_mem(env, "--device-seed", str(fa), str(fq1),
+                        str(fq2)))
+    assert pe_dev == pe_host
+
+
 def test_comment_passthrough(world):
     d, fa, fq1, fq2, ilv, env, n = world
     recs = _body(_mem(env, "-C", str(fa), str(fq1), str(fq2)))
