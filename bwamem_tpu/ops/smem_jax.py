@@ -256,12 +256,15 @@ def make_smem1_device(d: DeviceOcc):
 
 
 def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
-                         split_len: int, split_width: int):
+                         split_len: int, split_width: int,
+                         smem1_fn=None):
     """Batched mem_collect_intv with the SMEM search on DEVICE —
     semantics equal to fmindex.collect_smems per read (fuzz-pinned by
     tests/test_smem_jax.py).  Host orchestrates rounds and assembles
     BiIntervals; pathological reads (slot overflow) fall back to the
-    scalar host search, exactly like the host batch path."""
+    scalar host search, exactly like the host batch path.  `smem1_fn`
+    swaps in an alternative jitted smem1 (the mesh-sharded one from
+    parallel/dist.make_sharded_device_seeder)."""
     from bwamem_tpu.index.fmindex import BiInterval, smem1
 
     B = len(reads)
@@ -271,7 +274,7 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
     for b, r in enumerate(reads):
         q[b, :len(r)] = r
         qlen[b] = len(r)
-    dev = make_smem1_device(d)
+    dev = smem1_fn if smem1_fn is not None else make_smem1_device(d)
     qd = jnp.asarray(q)
     qlen_d = jnp.asarray(qlen)
 
@@ -421,7 +424,7 @@ def make_sa_batch_device(d: DeviceOcc, ssa, sa_intv: int):
 
 def collect_seeds_device(d: DeviceOcc, fm, reads, min_seed_len: int,
                          split_len: int, split_width: int, max_occ: int,
-                         sa_fn=None):
+                         sa_fn=None, smem1_fn=None):
     """Device-side seeding end to end: SMEM search + SA materialization
     on the chip, emitting (n, 4) int64 rows {read_idx, rbeg, qbeg, len}
     in the EXACT order csrc/smem.cpp bwamem_collect_seeds produces them
@@ -433,7 +436,7 @@ def collect_seeds_device(d: DeviceOcc, fm, reads, min_seed_len: int,
     if sa_fn is None:
         sa_fn = make_sa_batch_device(d, fm.ssa, fm.sa_intv)
     mems = collect_smems_device(d, fm, reads, min_seed_len, split_len,
-                                split_width)
+                                split_width, smem1_fn=smem1_fn)
     rows: list[int] = []
     meta: list[tuple[int, int, int]] = []
     for ri, ms in enumerate(mems):

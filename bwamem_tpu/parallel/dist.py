@@ -401,6 +401,84 @@ def make_sharded_cigar_idx_backend(mesh: Mesh, pac=None, text_dev=None):
     return cigar_idx
 
 
+def make_sharded_device_seeder(mesh: Mesh, po, fm, opt):
+    """Data-parallel device seeding: the chunk's reads shard over the
+    mesh for the lockstep SMEM search, the SA-walk rows shard for the
+    seed materialization, and the packed-occ tables + sampled SA
+    replicate (index replication, SURVEY.md §7 step 6).  Returns the
+    same `seed_fn(reads) -> (n, 4) int64 rows` contract as
+    ops/smem_jax.make_device_seeder, so NativePipeline.seed_fn consumes
+    either; rows are identical to the single-device (and C++ host)
+    seeder's (tests/test_dist.py)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from bwamem_tpu.ops.smem_jax import (
+        DeviceOcc,
+        _sa_kernel,
+        _smem1_kernel,
+        collect_seeds_device,
+    )
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    d = DeviceOcc(po)
+    if int(d.n_rows) >= 1 << 31:
+        raise ValueError("device seeding requires n_rows < 2^31")
+
+    smem_body = functools.partial(
+        _smem1_kernel, d.occ_rows, d.pk_rows, d.va_rows, d.C,
+        int(d.primary), int(d.n_rows))
+    smem_sh = jax.jit(jax.shard_map(
+        smem_body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        # (ret, overflow, m_qb, m_qe, m_x0, m_x1, m_s, m_n): all lead
+        # with the read axis
+        out_specs=(P(axis),) * 8,
+        # loop carries mix shard-varying reads with replicated-constant
+        # initializers; plain batch-dim data parallelism, no collectives
+        check_vma=False,
+    ))
+
+    def smem1_fn(q, qlen, x, mi):
+        B = q.shape[0]
+        Bp = -(-B // n_dev) * n_dev
+        if Bp != B:
+            pad = Bp - B
+            q = jnp.pad(q, ((0, pad), (0, 0)), constant_values=4)
+            qlen = jnp.pad(qlen, (0, pad))        # len 0: never startable
+            x = jnp.pad(x, (0, pad))
+            mi = jnp.pad(mi, (0, pad), constant_values=1)
+        out = smem_sh(q, qlen, x, mi)
+        return tuple(o[:B] for o in out) if Bp != B else out
+
+    ssa_d = jnp.asarray(np.asarray(fm.ssa, np.int64).astype(np.int32))
+    sa_body = functools.partial(
+        _sa_kernel, d.occ_rows, d.pk_rows, d.va_rows, d.C,
+        int(d.primary), int(d.n_rows), ssa_d, int(fm.sa_intv))
+    sa_sh = jax.jit(jax.shard_map(
+        sa_body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
+        check_vma=False))
+
+    def sa_fn(rows):
+        n = rows.shape[0]
+        np_ = -(-n // n_dev) * n_dev
+        if np_ != n:
+            rows = jnp.pad(rows, (0, np_ - n))  # row 0 resolves at once
+        out = sa_sh(rows)
+        return out[:n] if np_ != n else out
+
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+
+    def seed_fn(reads):
+        return collect_seeds_device(
+            d, fm, reads, opt.min_seed_len, split_len, opt.split_width,
+            opt.max_occ, sa_fn=sa_fn, smem1_fn=smem1_fn)
+
+    return seed_fn
+
+
 def shard_batch(mesh: Mesh, arrays):
     """Device-put a pytree of (B, ...) host arrays with batch-dim sharding."""
     axis = mesh.axis_names[0]

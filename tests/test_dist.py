@@ -195,6 +195,24 @@ got_pe_idx = [[r.line() for r in rr] for rr in pipeC.align_pairs_chunk(
     cigar_fn=make_sharded_cigar_idx_backend(mesh, ref.pac))]
 assert want_pe == got_pe_idx, "PE SAM mismatch: resident mesh path"
 print("e2e resident mesh PE SAM == single-device PE SAM: ok")
+
+# 8) device seeding through the mesh: sharded seed rows == the
+# single-device seeder's == the C++ host engine's, and a seed_fn-fed
+# pipeline still reproduces the host-seeded SAM
+from bwamem_tpu.ops.smem_jax import make_device_seeder
+from bwamem_tpu.parallel.dist import make_sharded_device_seeder
+
+seed1 = make_device_seeder(po, fm, opt)
+seed8 = make_sharded_device_seeder(mesh, po, fm, opt)
+rows1 = seed1(reads)
+rows8 = seed8(reads)
+assert np.array_equal(rows1, rows8), "seed rows mismatch under mesh"
+pipeD = native_driver.NativePipeline(opt, ref, fm, po, blk_l=BLK)
+pipeD.seed_fn = seed8
+got_seeded = [[r.line() for r in rr]
+              for rr in pipeD.align_chunk(reads, sharded)]
+assert want_sam == got_seeded, "SAM mismatch: mesh device seeding"
+print("mesh device seeding rows + SAM == single-device: ok")
 """
 
 
