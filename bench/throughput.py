@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--device-rescue", action="store_true",
                     help="run mem_matesw local-SW batches on device "
                          "(the mp_rescue_* wave protocol)")
+    ap.add_argument("--device-seed", action="store_true",
+                    help="SMEM seeding + SA walks on device "
+                         "(ops/smem_jax; the CPU-starved-host path)")
     ap.add_argument("--device-cigar", action="store_true",
                     help="run reg2aln banded globals + traceback on "
                          "device (the mp_cigar_* round protocol)")
@@ -203,6 +206,12 @@ def main():
             pipes = [native_driver.NativePipeline(
                 opt, ref, fm, po, nthreads=args.threads, tracer=tracer)
                 for _ in range(args.inflight if args.overlap else 1)]
+            if args.device_seed:
+                from bwamem_tpu.ops.smem_jax import make_device_seeder
+
+                seeder = make_device_seeder(po, fm, opt)
+                for p_ in pipes:
+                    p_.seed_fn = seeder
             print(f"[host] native pipeline, {args.threads} thread(s)"
                   f"{', overlapped' if args.overlap else ''}",
                   file=sys.stderr)
