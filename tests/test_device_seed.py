@@ -115,6 +115,33 @@ def test_native_pipeline_device_seeded_sam_parity(world):
 
 @pytest.mark.skipif(not native_driver.available(),
                     reason="native library unavailable")
+def test_device_seeded_degenerate_reads(world):
+    """All-N, tiny, and unmappable-junk reads through the device-seeded
+    pipeline: no crash, SAM identical to host seeding (these exercise
+    the zero-seed and partial-seed rows paths of
+    mp_chunk_start_seeded)."""
+    from tests.test_native_pipe import _backends
+
+    ref, fm, po, _rng = world
+    rng = np.random.default_rng(99)
+    reads = [
+        np.full(80, 4, np.int64),                      # all N
+        np.array([0, 1, 2, 3], np.int64),              # shorter than -k
+        rng.integers(0, 4, 120).astype(np.int64),      # random junk
+        fm.pac[500:650].astype(np.int64),              # mappable
+    ]
+    opt = MemOptions()
+    _row_fn, raw_t_fn = _backends(opt)
+    host_pipe = native_driver.NativePipeline(opt, ref, fm, po)
+    want, nw = host_pipe.align_chunk_text(reads, raw_t_fn)
+    dev_pipe = native_driver.NativePipeline(opt, ref, fm, po)
+    dev_pipe.seed_fn = make_device_seeder(po, fm, opt)
+    got, ng = dev_pipe.align_chunk_text(reads, raw_t_fn)
+    assert (nw, want) == (ng, got)
+
+
+@pytest.mark.skipif(not native_driver.available(),
+                    reason="native library unavailable")
 def test_native_pipeline_device_seeded_pe_parity(world):
     """PE chunk through mp_chunk_start_seeded == host-seeded PE."""
     from tests.test_native_pipe import _backends
