@@ -13,7 +13,12 @@ PY=python
 run() {
   name=$1; shift
   echo "=== $name: $*" | tee -a "$OUT/ladder.log"
-  /usr/bin/time -v $PY "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  # `/usr/bin/time -v` when available (peak-RSS per config), plain run otherwise
+  if [ -x /usr/bin/time ]; then
+    /usr/bin/time -v $PY "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  else
+    $PY "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  fi
   tail -2 "$OUT/$name.out" | tee -a "$OUT/ladder.log"
 }
 
