@@ -255,16 +255,94 @@ def make_smem1_device(d: DeviceOcc):
     return jax.jit(fn)
 
 
+# total SMEM slots per read across ALL first-round smem1 calls of the
+# fused device loop (M_CAP bounds one call); overflow -> exact host
+# fallback for that read, same policy as the per-round path
+ALL_CAP = 128
+
+
+def _smem_all_kernel(occ_rows, pk_rows, va_rows, C, primary, n_rows,
+                     q, qlen, msl):
+    """The whole first-round SMEM collection under ONE jit: a
+    `lax.while_loop` advances every read's start pointer x in lockstep
+    (the host orchestration loop of collect_smems_device moved on
+    device), each iteration one `_smem1_kernel` round at the current
+    frontier.  Emitted SMEMs with qlen >= msl append per read into
+    ALL_CAP slots in EXACTLY the host path's order (rounds ascending,
+    within a round the kernel's emission order reversed — the
+    `mems.reverse()` of the host consumer).  Returns one packed int32
+    matrix (B, 2 + 5*ALL_CAP): [cnt, overflow, qb…, qe…, x0…, x1…, s…]
+    so the host needs a single D2H fetch per chunk."""
+    B, L = q.shape
+    bI = jnp.arange(B)
+    kI = jnp.arange(M_CAP)
+
+    def cond(c):
+        return jnp.any(c[0] < qlen)
+
+    def body(c):
+        x, sl_qb, sl_qe, sl_x0, sl_x1, sl_s, cnt, ovf = c
+        at = q[bI, jnp.minimum(x, L - 1)]
+        todo = x < qlen
+        skip = todo & (at > 3)          # N position: advance, no search
+        x_adv = jnp.where(skip, x + 1, x)
+        active = todo & ~skip
+        xs_eff = jnp.where(active, x_adv, qlen).astype(jnp.int32)
+        ret, o, m_qb, m_qe, m_x0, m_x1, m_s, m_n = _smem1_kernel(
+            occ_rows, pk_rows, va_rows, C, primary, n_rows,
+            q, qlen, xs_eff, jnp.ones_like(qlen))
+        keep = (kI[None, :] < m_n[:, None]) & ((m_qe - m_qb) >= msl) \
+            & active[:, None]
+        csum = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+        total = csum[:, -1]
+        # appended order = descending kernel index among kept slots
+        pos = total[:, None] - csum                 # kept k' > k count
+        tgt = jnp.where(keep, cnt[:, None] + pos, ALL_CAP)
+        tgt = jnp.minimum(tgt, ALL_CAP)             # spill -> dropped col
+        sl_qb = sl_qb.at[bI[:, None], tgt].set(m_qb)
+        sl_qe = sl_qe.at[bI[:, None], tgt].set(m_qe)
+        sl_x0 = sl_x0.at[bI[:, None], tgt].set(m_x0)
+        sl_x1 = sl_x1.at[bI[:, None], tgt].set(m_x1)
+        sl_s = sl_s.at[bI[:, None], tgt].set(m_s)
+        new_cnt = cnt + jnp.where(active, total, 0)
+        ovf = ovf | (active & o.astype(bool)) | (new_cnt > ALL_CAP)
+        new_x = jnp.where(active, ret, x_adv)
+        return (new_x, sl_qb, sl_qe, sl_x0, sl_x1, sl_s,
+                jnp.minimum(new_cnt, ALL_CAP), ovf)
+
+    zS = jnp.zeros((B, ALL_CAP + 1), jnp.int32)
+    c0 = (jnp.zeros((B,), jnp.int32), zS, zS, zS, zS, zS,
+          jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool))
+    x, sl_qb, sl_qe, sl_x0, sl_x1, sl_s, cnt, ovf = \
+        jax.lax.while_loop(cond, body, c0)
+    return jnp.concatenate(
+        [cnt[:, None], ovf.astype(jnp.int32)[:, None],
+         sl_qb[:, :ALL_CAP], sl_qe[:, :ALL_CAP], sl_x0[:, :ALL_CAP],
+         sl_x1[:, :ALL_CAP], sl_s[:, :ALL_CAP]], axis=1)
+
+
+def make_smem_all_device(d: DeviceOcc):
+    """Jitted whole-first-round SMEM search (one dispatch per chunk)."""
+    fn = functools.partial(_smem_all_kernel, d.occ_rows, d.pk_rows,
+                           d.va_rows, d.C, d.primary, d.n_rows)
+    return jax.jit(fn)
+
+
 def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
                          split_len: int, split_width: int,
-                         smem1_fn=None):
+                         smem1_fn=None, all_fn=None):
     """Batched mem_collect_intv with the SMEM search on DEVICE —
     semantics equal to fmindex.collect_smems per read (fuzz-pinned by
-    tests/test_smem_jax.py).  Host orchestrates rounds and assembles
-    BiIntervals; pathological reads (slot overflow) fall back to the
-    scalar host search, exactly like the host batch path.  `smem1_fn`
-    swaps in an alternative jitted smem1 (the mesh-sharded one from
-    parallel/dist.make_sharded_device_seeder)."""
+    tests/test_smem_jax.py).  The first round (every start position of
+    every read) runs as ONE device dispatch (`_smem_all_kernel`:
+    the round loop lives in a lax.while_loop) with a single packed D2H
+    fetch; only the rare split re-seed round is host-orchestrated.
+    Pathological reads (slot overflow) fall back to the scalar host
+    search, exactly like the host batch path.  `smem1_fn` swaps in an
+    alternative jitted smem1 (the mesh-sharded one from
+    parallel/dist.make_sharded_device_seeder) and selects the
+    host-orchestrated round loop (the sharded twin has no fused
+    variant)."""
     from bwamem_tpu.index.fmindex import BiInterval, smem1
 
     B = len(reads)
@@ -321,22 +399,54 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
         return ret, per_read
 
     mems: list[list] = [[] for _ in range(B)]
-    x = np.zeros(B, np.int32)
     ones = np.ones(B, np.int32)
-    while True:
-        todo = x < qlen
-        if not todo.any():
-            break
-        at = q[np.arange(B), np.minimum(x, L - 1)]
-        skip = todo & (at > 3)
-        x = np.where(skip, x + 1, x).astype(np.int32)
-        run_mask = todo & ~skip
-        if not run_mask.any():
-            continue
-        nx, got = run(x, ones, run_mask)
-        for b in np.nonzero(run_mask)[0]:
-            mems[b].extend(m for m in got[b] if m.qlen >= min_seed_len)
-            x[b] = nx[b]
+    if smem1_fn is None:
+        # fused first round: ONE dispatch + ONE fetch for the chunk
+        if all_fn is None:
+            all_fn = make_smem_all_device(d)
+        packed = np.asarray(all_fn(qd, qlen_d,
+                                   jnp.int32(min_seed_len)))
+        cnt, ovf = packed[:, 0], packed[:, 1]
+        s_qb = packed[:, 2:2 + ALL_CAP]
+        s_qe = packed[:, 2 + ALL_CAP:2 + 2 * ALL_CAP]
+        s_x0 = packed[:, 2 + 2 * ALL_CAP:2 + 3 * ALL_CAP]
+        s_x1 = packed[:, 2 + 3 * ALL_CAP:2 + 4 * ALL_CAP]
+        s_s = packed[:, 2 + 4 * ALL_CAP:2 + 5 * ALL_CAP]
+        for b in range(B):
+            if ovf[b]:  # exact host fallback, scalar oracle
+                xx = 0
+                ql = int(qlen[b])
+                qb64 = q[b, :ql].astype(np.int64)
+                while xx < ql:
+                    if q[b, xx] > 3:
+                        xx += 1
+                        continue
+                    nx, ms = smem1(fm, qb64, xx, 1)
+                    mems[b].extend(
+                        m for m in ms if m.qlen >= min_seed_len)
+                    xx = int(nx)
+                continue
+            mems[b] = [BiInterval(x0=int(s_x0[b, k]), x1=int(s_x1[b, k]),
+                                  s=int(s_s[b, k]), qb=int(s_qb[b, k]),
+                                  qe=int(s_qe[b, k]))
+                       for k in range(int(cnt[b]))]
+    else:
+        x = np.zeros(B, np.int32)
+        while True:
+            todo = x < qlen
+            if not todo.any():
+                break
+            at = q[np.arange(B), np.minimum(x, L - 1)]
+            skip = todo & (at > 3)
+            x = np.where(skip, x + 1, x).astype(np.int32)
+            run_mask = todo & ~skip
+            if not run_mask.any():
+                continue
+            nx, got = run(x, ones, run_mask)
+            for b in np.nonzero(run_mask)[0]:
+                mems[b].extend(
+                    m for m in got[b] if m.qlen >= min_seed_len)
+                x[b] = nx[b]
 
     # second round: re-seed long low-occ SMEMs from their middle
     jobs = []
@@ -439,7 +549,7 @@ def make_sa_batch_device(d: DeviceOcc, ssa, sa_intv: int):
 
 def collect_seeds_device(d: DeviceOcc, fm, reads, min_seed_len: int,
                          split_len: int, split_width: int, max_occ: int,
-                         sa_fn=None, smem1_fn=None):
+                         sa_fn=None, smem1_fn=None, all_fn=None):
     """Device-side seeding end to end: SMEM search + SA materialization
     on the chip, emitting (n, 4) int64 rows {read_idx, rbeg, qbeg, len}
     in the EXACT order csrc/smem.cpp bwamem_collect_seeds produces them
@@ -451,7 +561,8 @@ def collect_seeds_device(d: DeviceOcc, fm, reads, min_seed_len: int,
     if sa_fn is None:
         sa_fn = make_sa_batch_device(d, fm.ssa, fm.sa_intv)
     mems = collect_smems_device(d, fm, reads, min_seed_len, split_len,
-                                split_width, smem1_fn=smem1_fn)
+                                split_width, smem1_fn=smem1_fn,
+                                all_fn=all_fn)
     rows: list[int] = []
     meta: list[tuple[int, int, int]] = []
     for ri, ms in enumerate(mems):
@@ -486,11 +597,12 @@ def make_device_seeder(po: PackedOcc, fm, opt):
     chunk's SMEM search and SA walks on the device."""
     d = DeviceOcc(po)
     sa_fn = make_sa_batch_device(d, fm.ssa, fm.sa_intv)
+    all_fn = make_smem_all_device(d)
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
 
     def seed_fn(reads):
         return collect_seeds_device(
             d, fm, reads, opt.min_seed_len, split_len, opt.split_width,
-            opt.max_occ, sa_fn=sa_fn)
+            opt.max_occ, sa_fn=sa_fn, all_fn=all_fn)
 
     return seed_fn
