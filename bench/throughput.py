@@ -46,9 +46,10 @@ def main():
                     help="ship target windows from the host instead of "
                          "gathering from the device-resident reference")
     ap.add_argument("--force-2d", action="store_true",
-                    help="force the (rows, 2^20) hi/lo-addressed resident "
-                         "text (the >=2^31-symbol GRCh38 layout) even for "
-                         "small genomes — measures the 2D-gather cost")
+                    help="force the wide resident-text layout (the "
+                         ">=2^31-symbol GRCh38 nibble-packed uint32 "
+                         "text) even for small genomes — measures its "
+                         "gather cost vs the flat int8 text")
     ap.add_argument("--phased", action="store_true",
                     help="use the 4-pass protocol instead of the fused "
                          "whole-alignment kernel")

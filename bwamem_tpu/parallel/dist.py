@@ -137,16 +137,15 @@ def make_sharded_fused_idx_backend(mesh: Mesh, params: ExtendParams,
     from bwamem_tpu.ops.extend_pallas import params_vector
     from bwamem_tpu.pipeline.native_driver import (
         fused_idx_local,
-        two_strand_text,
+        resident_text_host,
     )
 
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     prm = params_vector(params)
     a_max = int(np.max(np.asarray(params.mat_flat)))
-    two_d = 2 * len(pac) >= 1 << 31
     text = jax.device_put(
-        two_strand_text(pac, two_d=two_d), NamedSharding(mesh, P()))
+        resident_text_host(pac), NamedSharding(mesh, P()))
 
     @functools.partial(
         jax.jit, static_argnames=("qmax_l", "tmax_l", "qmax_r", "tmax_r"))
@@ -317,14 +316,14 @@ def make_sharded_rescue_idx_backend(mesh: Mesh, pac=None, text_dev=None):
     import jax.numpy as jnp
 
     from bwamem_tpu.pipeline.native_driver import (
-        make_resident_text,
         rescue_idx_local,
+        resident_text_host,
     )
 
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     text = text_dev if text_dev is not None else jax.device_put(
-        np.asarray(make_resident_text(pac)), NamedSharding(mesh, P()))
+        resident_text_host(pac), NamedSharding(mesh, P()))
 
     @functools.partial(jax.jit, static_argnames=("qmax", "tmax"))
     def fn(reads_nib, meta, mat, pens, text, *, qmax, tmax):
@@ -365,13 +364,13 @@ def make_sharded_cigar_idx_backend(mesh: Mesh, pac=None, text_dev=None):
     from bwamem_tpu.ops.global_jax import pack_cigar_round
     from bwamem_tpu.pipeline.native_driver import (
         cigar_idx_local,
-        make_resident_text,
+        resident_text_host,
     )
 
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     text = text_dev if text_dev is not None else jax.device_put(
-        np.asarray(make_resident_text(pac)), NamedSharding(mesh, P()))
+        resident_text_host(pac), NamedSharding(mesh, P()))
 
     @functools.partial(jax.jit, static_argnames=("qmax", "tmax"))
     def fn(reads_nib, meta, mat, pens, text, *, qmax, tmax):

@@ -652,36 +652,71 @@ def make_fused_backend(params, blk_l: int = 512, interpret: bool = False):
     return fused
 
 
-def two_strand_text(pac: np.ndarray, two_d: bool = False) -> np.ndarray:
+def two_strand_text(pac: np.ndarray) -> np.ndarray:
     """The device-resident two-strand reference text T2 (int8 codes):
     T2[p] = pac[p] for p < l_pac, else the strand fold of
     pac[2*l_pac-1-p] — exactly csrc get_seq(), so every chain window
-    rseq[ci] == T2[rmax0:rmax1].
-
-    `two_d=True` reshapes to (rows, 2^20) (padded with N) so positions
-    beyond 2^31 stay addressable with int32 (row, col) pairs — the
-    GRCh38-scale layout."""
+    rseq[ci] == T2[rmax0:rmax1]."""
     fwd = np.ascontiguousarray(pac, np.int8)
     rev = fwd[::-1]
     fold = np.where(rev < 4, 3 - rev, rev).astype(np.int8)
-    t2 = np.concatenate([fwd, fold])
-    if not two_d:
-        return t2
-    rows = -(-t2.shape[0] // (1 << 20))
-    pad = rows * (1 << 20) - t2.shape[0]
-    if pad:
-        t2 = np.concatenate([t2, np.full(pad, 4, np.int8)])
-    return t2.reshape(rows, 1 << 20)
+    return np.concatenate([fwd, fold])
+
+
+def two_strand_text_packed(pac: np.ndarray) -> np.ndarray:
+    """The wide-reference layout: the two-strand text nibble-packed
+    into flat uint32 words, 8 base codes per word, code k of word w at
+    bits [4k+3:4k] (position p lives at word p>>3, nibble p&7; tail
+    padded with N=4).
+
+    Rationale: positions beyond 2^31 don't fit an int32 gather index
+    into an int8 text, but p>>3 fits int32 for any p < 2^34 — covering
+    GRCh38 two-strand (6.2e9 symbols) with ONE flat 1D gather plus a
+    shift/mask, where round 2's (rows, 2^20) layout paid a 2-D gather
+    per window element (measured 4x end-to-end, bench/README round-2c
+    ladder note 3).  Packing also halves the HBM footprint (4 bits vs
+    8 per symbol — the reference's own payload density, task_parse.v
+    4-bit symbol stream)."""
+    t2 = two_strand_text(pac)
+    n = t2.shape[0]
+    n_words = -(-n // 8)
+    out = np.empty(n_words, np.uint32)
+    # chunked so the shifted uint32 temporaries stay ~256 MB even at
+    # GRCh38 scale (a single-shot pack would transiently need 4 bytes
+    # per symbol, ~25 GB)
+    step = 1 << 26  # words per chunk
+    shifts = (np.arange(8, dtype=np.uint32) * 4)[None, :]
+    for w0 in range(0, n_words, step):
+        w1 = min(w0 + step, n_words)
+        lo, hi = w0 * 8, w1 * 8
+        blk = t2[lo:min(hi, n)].astype(np.uint32)
+        if hi > n:  # pad the final partial word with N
+            blk = np.concatenate(
+                [blk, np.full(hi - n, 4, np.uint32)])
+        out[w0:w1] = np.bitwise_or.reduce(
+            blk.reshape(-1, 8) << shifts, axis=1)
+    return out
+
+
+def resident_text_host(pac, force_wide: bool = False) -> np.ndarray:
+    """Host-side resident-text array: flat int8 for references under
+    2^31 two-strand symbols (single int32 gather index), else the
+    nibble-packed uint32 wide layout.  `force_wide` selects the wide
+    layout explicitly (testing / the --force-wide CLI flag)."""
+    if force_wide or 2 * len(pac) >= 1 << 31:
+        return two_strand_text_packed(pac)
+    return two_strand_text(pac)
 
 
 def make_resident_text(pac, force_2d: bool = False):
     """device_put the two-strand text once; share the returned array
     across the fused/rescue/cigar resident-reference backends so the
-    reference lives in HBM exactly once."""
+    reference lives in HBM exactly once.  (`force_2d` kept its round-2
+    name; since round 3 the wide layout it forces is the packed-uint32
+    flat text, not the 2-D one.)"""
     import jax
 
-    two_d = force_2d or 2 * len(pac) >= 1 << 31
-    return jax.device_put(two_strand_text(pac, two_d=two_d))
+    return jax.device_put(resident_text_host(pac, force_wide=force_2d))
 
 
 def _nib_gather(reads_nib, row, col):
@@ -699,14 +734,24 @@ def _nib_gather(reads_nib, row, col):
 def _text_gather(text, lo, hi):
     """Gather base codes from the resident two-strand text at
     position hi*2^20 + lo (lo may have absorbed an offset of either
-    sign; arithmetic >> floors, & takes the positive residue)."""
+    sign; arithmetic >> floors, & takes the positive residue).
+
+    Flat int8 text (references under 2^31 symbols): one int32 take.
+    Packed uint32 text (the wide layout, two_strand_text_packed):
+    word index row*2^17 + col>>3 fits int32 for any position < 2^34,
+    so GRCh38-scale references also pay exactly one flat gather plus
+    a shift/mask."""
     import jax.numpy as jnp
 
-    if text.ndim == 1:
+    if text.dtype == jnp.int8:
         pos = jnp.clip((hi << 20) + lo, 0, text.shape[0] - 1)
         return jnp.take(text, pos, axis=0).astype(jnp.int32)
-    row = jnp.clip(hi + (lo >> 20), 0, text.shape[0] - 1)
-    return text[row, lo & 0xFFFFF].astype(jnp.int32)
+    row = hi + (lo >> 20)
+    col = lo & 0xFFFFF
+    w = jnp.clip(row * (1 << 17) + (col >> 3), 0, text.shape[0] - 1)
+    word = jnp.take(text, w, axis=0)
+    return ((word >> ((col & 7).astype(jnp.uint32) * 4)) & 0xF
+            ).astype(jnp.int32)
 
 
 def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
@@ -719,8 +764,9 @@ def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
 
     Target starts arrive as (lo20, hi) int32 pairs (scal rows 12-15).
     `text` is either flat (Tn,) int8 — references under 2^31 symbols,
-    single int32 gather index — or (rows, 2^20) int8 for GRCh38-scale
-    references, addressed as text[hi + (lo>>20), lo & 0xFFFFF]."""
+    single int32 gather index — or flat nibble-packed uint32
+    (two_strand_text_packed) for GRCh38-scale references: still one
+    flat gather, at word index (hi + (lo>>20))*2^17 + ((lo&0xFFFFF)>>3)."""
     import jax.numpy as jnp
 
     from bwamem_tpu.ops.extend_pallas import extend_batch_raw_fused
@@ -770,8 +816,9 @@ def make_fused_idx_backend(params, pac, blk_l: int = 512,
     in HBM and fetch nothing.
 
     References beyond 2^31 two-strand symbols (GRCh38 scale) switch to
-    the (rows, 2^20) text layout addressed by int32 (row, col) pairs;
-    `force_2d` selects it explicitly for testing."""
+    the nibble-packed uint32 wide layout (two_strand_text_packed) —
+    one flat gather either way; `force_2d` selects it explicitly for
+    testing."""
     import functools
 
     import jax

@@ -473,9 +473,10 @@ def test_fused_idx_sam_identical(world):
 
 
 def test_fused_idx_2d_text_sam_identical(world):
-    """The GRCh38-scale (rows, 2^20) text layout — int32 (row, col)
-    addressing with borrow/carry across rows — produces the same SAM
-    as the oracle on a small genome when forced on."""
+    """The GRCh38-scale wide text layout (nibble-packed uint32 words,
+    8 codes/word — int32 word addressing with borrow/carry across the
+    2^20 hi/lo split) produces the same SAM as the oracle on a small
+    genome when forced on."""
     opt = MemOptions()
     ref, fm, po, rng = world
     reads, names, quals = make_reads(rng, ref, 24)
