@@ -48,7 +48,11 @@ def main():
         o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
         zdrop=0)
 
-    B, QMAX, TMAX = 16384, 128, 256
+    # QMAX pads qlen to the int32 sublane tile (8) — 104 for 100 bp
+    # tasks, 4% padded sublanes where round 2's 128 paid 28%; BLK=128
+    # (one native lane width) measured fastest on v5e: larger blocks
+    # spill vregs (512 was ~12% slower, 1024 ~25%)
+    B, QMAX, TMAX = 16384, 104, 256
     QLEN, TLEN, W = 100, 200, 100
     rng = np.random.default_rng(0)
     # realistic tasks: target = mutated query + flanking tail
@@ -57,7 +61,7 @@ def main():
     target[:, :QLEN] = query[:, :QLEN]
     muts = rng.integers(0, QLEN, (B, 6))
     target[np.arange(B)[:, None], muts] = rng.integers(0, 4, (B, 6))
-    BLK = 512
+    BLK = 128
     scal, tmax = extend_pallas.pack_scal(
         np.full(B, QLEN, np.int32), np.full(B, TLEN, np.int32),
         np.full(B, W, np.int32), np.full(B, 19, np.int32), blk_b=BLK)
@@ -108,7 +112,8 @@ def main():
     # fetch of the last output) is the only trustworthy fence, so the
     # timed window ends on one — the ~15 ms fetch amortizes over
     # n_iter and errs on the honest side.
-    n_iter = 10
+    n_iter = 30  # one real D2H fence per window; more iters amortize
+    # its ~15 ms tunnel cost so the number approaches the kernel rate
     t0 = time.time()
     for _ in range(n_iter):
         out = fn(*args)

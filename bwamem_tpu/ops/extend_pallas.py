@@ -40,43 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bwamem_tpu.ops.extend_jax import ExtendOut, ExtendParams
 
-def _shift_right(x, k, fill, jidx):
-    """x[j] <- x[j-k] with `fill` in the first k lanes."""
-    return jnp.where(jidx < k, fill, pltpu.roll(x, k, axis=1))
-
-
-def _prefix_max(x, jidx, qmax, neg):
-    """Inclusive prefix max along lanes (Hillis-Steele, log2(qmax) steps)."""
-    k = 1
-    while k < qmax:
-        x = jnp.maximum(x, _shift_right(x, k, neg, jidx))
-        k *= 2
-    return x
-
-
-def _rmax(x, dt):
-    """Lane-reduction max; Mosaic lacks int16 reductions, so reduce i32."""
-    return jnp.max(x.astype(jnp.int32), axis=1, keepdims=True).astype(dt)
-
-
-def _rmin(x, dt):
-    return jnp.min(x.astype(jnp.int32), axis=1, keepdims=True).astype(dt)
-
-
-def _shift_down(x, k, fill, sidx):
-    """x[j,:] <- x[j-k,:] with `fill` in the first k sublanes."""
-    return jnp.where(sidx < k, fill, pltpu.roll(x, k, axis=0))
-
-
-def _prefix_max_sub(x, sidx, qmax, neg):
-    """Inclusive prefix max along sublanes (Hillis-Steele)."""
-    k = 1
-    while k < qmax:
-        x = jnp.maximum(x, _shift_down(x, k, neg, sidx))
-        k *= 2
-    return x
-
-
 def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
                tmax, dt, early_exit=True, inactive=None, t_rev_from=None):
     """One banded-extension pass in the transposed layout (query columns
@@ -91,6 +54,7 @@ def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
     (1, BLK_L) in dt, with the same semantics as ksw_extend_core.
     """
     del t_rev_from
+    assert qmax <= 1024, qmax  # packed argmax key = H*1024 + j
     blk_l = query.shape[1]
     a = prm_ref[0].astype(dt)
     b = prm_ref[1].astype(dt)
@@ -104,10 +68,19 @@ def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
     NEG = jnp.asarray(-(1 << 14) if dt == jnp.int16 else -(1 << 29), dt)
     BIG = jnp.asarray((1 << 14) if dt == jnp.int16 else (1 << 29), dt)
 
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (qmax, blk_l), 0).astype(dt)
+    sidx32 = jax.lax.broadcasted_iota(jnp.int32, (qmax, blk_l), 0)
+    sidx = sidx32.astype(dt)
     query_isN = query > 3
     ej = (e_ins * sidx).astype(dt)
     ejm1 = (e_ins * (sidx - 1)).astype(dt)
+    # loop-invariant fill masks for the sublane shifts: the row body
+    # pays roll+select only, not the sidx<k compare (x ~200 rows)
+    fill1 = sidx32 < 1
+    scan_fills = []
+    k = 1
+    while k < qmax:
+        scan_fills.append((k, sidx32 < k))
+        k *= 2
 
     init_h = jnp.where(
         sidx == 0, h0,
@@ -139,30 +112,48 @@ def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
             beg == 0,
             jnp.maximum(h0 - (o_del + e_del * (iv + 1)), 0), 0).astype(dt)
 
-        t_row = target_ref[pl.ds(i, 1), :].astype(dt)   # (1, BLK_L)
+        # i can overshoot tmax by up to EXIT_EVERY-1 rows (blocked exit
+        # check below); those rows are active-masked no-ops, but the
+        # slice index must stay in bounds
+        i_rd = jnp.minimum(i, target_ref.shape[0] - 1)
+        t_row = target_ref[pl.ds(i_rd, 1), :].astype(dt)   # (1, BLK_L)
         s = jnp.where(query_isN | (t_row > 3), -1,
                       jnp.where(query == t_row, a, -b))
 
         in_band = (sidx >= beg) & (sidx < end)
         M = jnp.where(in_band & (eh_h != 0), eh_h + s, 0)
-        E_b = jnp.where(in_band, eh_e, 0)
+        # E needs no in-band mask: out-of-band lanes of H are re-masked
+        # below, Enew is only written back inside wb, and the eq_end
+        # column is forced to 0 regardless
+        E_b = eh_e
 
         G = jnp.maximum(M - oe_ins, 0)
         Pk = jnp.where(in_band, G + ej, NEG)
-        S = _prefix_max_sub(Pk, sidx, qmax, NEG)
-        Sm1 = _shift_down(S, 1, NEG, sidx)
+        S = Pk
+        for kk, fm in scan_fills:  # Hillis-Steele prefix max
+            S = jnp.maximum(S, jnp.where(fm, NEG, pltpu.roll(S, kk, axis=0)))
+        Sm1 = jnp.where(fill1, NEG, pltpu.roll(S, 1, axis=0))
+        # F[beg] = 0 for free: S[beg-1] is NEG (Pk masked below beg),
+        # so max(NEG - ejm1, 0) already lands on bwa's f=0 boundary
         F = jnp.maximum(Sm1 - ejm1, 0)
-        F = jnp.where(sidx == beg, 0, F)
 
         H = jnp.maximum(jnp.maximum(M, E_b), F)
         H = jnp.where(in_band, H, 0)
 
-        row_max = rmax0(H)
-        is_max = in_band & (H == row_max)
-        mj = rmax0(jnp.where(is_max, sidx, jnp.asarray(-1, dt)))
+        # one packed reduction yields row max AND argmax (ties -> the
+        # larger j, same as the two-reduction form): H is 0 outside the
+        # band and qmax <= 1024, so key = H*1024 + j is exact in int32.
+        # Out-of-band keys (= j < 1024) only win when the whole band is
+        # <= 0 — then row_max = 0 fires break_zero and mj is never
+        # consumed (improved needs row_max > best >= h0 > 0)
+        key = H.astype(jnp.int32) * 1024 + sidx32
+        kmax = jnp.max(key, axis=0, keepdims=True)
+        row_max = (kmax >> 10).astype(dt)
+        mj = (kmax & 1023).astype(dt)
         eq_end = sidx == end
-        Hsh = _shift_down(H, 1, 0, sidx)
-        Hsh = jnp.where(sidx == beg, h1_first, Hsh)
+        # when beg > 0 both h1_first and the rolled-in H[beg-1] are 0,
+        # so filling sublane 0 with h1_first covers the sidx==beg case
+        Hsh = jnp.where(fill1, h1_first, pltpu.roll(H, 1, axis=0))
         h1_last = rmax0(jnp.where(sidx == end - 1, H, NEG))
         h1_last = jnp.where(end > beg, h1_last, h1_first)
 
@@ -214,13 +205,28 @@ def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
              m1, m1, m1, m1, z1)
 
     if early_exit:
+        # The done-vector check is a vector->scalar reduction in the
+        # loop CONDITION — measured at ~44% of the whole kernel when
+        # evaluated every row (all-rows workload, 104x200 tasks).  Check
+        # it once per EXIT_EVERY rows instead: overshoot rows are
+        # active-masked no-ops (that is already how lanes shorter than
+        # the block tmax coexist), so semantics are unchanged and the
+        # wasted work is < EXIT_EVERY rows per block.
+        EXIT_EVERY = 8
+
         def cond(c):
             return (c[0] < tmax) & (jnp.min(c[5]) == 0)
+
+        def body(c):
+            return jax.lax.fori_loop(0, EXIT_EVERY, lambda _, cc: row(cc),
+                                     c)
+
+        carry = jax.lax.while_loop(cond, body, carry)
     else:
         def cond(c):
             return c[0] < tmax
 
-    carry = jax.lax.while_loop(cond, row, carry)
+        carry = jax.lax.while_loop(cond, row, carry)
     (_, _, _, _, _, _, best, max_i, max_jv, max_ie, gscore, max_off) = carry
     return best, max_jv, max_i, max_ie, gscore, max_off
 
@@ -229,8 +235,8 @@ def _extend_kernel_t(tmax_ref, prm_ref, query_ref, target_ref, scal_ref,
                      out_ref, *, qmax, dt=jnp.int32, early_exit=True):
     """Transposed layout: query columns on SUBLANES, tasks on LANES.
 
-    Identical semantics to _extend_kernel; this layout is the fast one on
-    TPU because (a) the per-row target symbol is a dynamic SUBLANE slice
+    This layout is the fast one on TPU because
+    (a) the per-row target symbol is a dynamic SUBLANE slice
     (legal and cheap — no rolled target copy), (b) the row reductions
     (row max, argmax, h1_last, band trim) reduce along sublanes, and
     (c) the F prefix-scan shifts along sublanes.  Cross-LANE traffic —
@@ -338,210 +344,6 @@ def _extend_kernel_fused(tmax_ref, prm_ref, ql_ref, tl_ref, qr_ref,
                         prm_ref, qmax=qmax_r, tmax=tmax_ref[g, 1], dt=dt,
                         early_exit=early_exit, inactive=conv_r)
     emit(24, res_r1, aw1_r)
-
-
-def _extend_kernel(tmax_ref, query_ref, target_ref, scal_ref, out_ref, *,
-                   qmax, a, b, o_del, e_del, o_ins, e_ins, zdrop,
-                   dt=jnp.int32):
-    """dt: compute dtype.  int16 doubles VPU lanes per op and halves VMEM
-    traffic (the FPGA itself computes in 8-bit cells, eh_arr.v:13); safe
-    whenever scores/positions fit 15 bits — extend_batch_raw auto-selects.
-    """
-    g = pl.program_id(0)
-    blk_b = query_ref.shape[0]
-    oe_del = o_del + e_del
-    oe_ins = o_ins + e_ins
-    NEG = jnp.asarray(-(1 << 14) if dt == jnp.int16 else -(1 << 29), dt)
-    BIG = jnp.asarray((1 << 14) if dt == jnp.int16 else (1 << 29), dt)
-
-    query = query_ref[:, :].astype(dt)            # (BLK_B, QMAX)
-    qlen = scal_ref[:, 0:1].astype(dt)            # (BLK_B, 1)
-    tlen = scal_ref[:, 1:2].astype(dt)
-    aw = scal_ref[:, 2:3].astype(dt)
-    h0 = scal_ref[:, 3:4].astype(dt)
-
-    jidx = jax.lax.broadcasted_iota(jnp.int32, (blk_b, qmax), 1).astype(dt)
-    query_isN = query > 3                       # loop-invariant
-    ej = (e_ins * jidx).astype(dt)              # e_ins * j
-    ejm1 = (e_ins * (jidx - 1)).astype(dt)      # e_ins * (j-1)
-
-    # first virtual row: eh[0].h = h0, eh[j].h = max(h0-oe_ins-(j-1)*e_ins, 0)
-    init_h = jnp.where(
-        jidx == 0, h0,
-        jnp.where(jidx <= qlen,
-                  jnp.maximum(h0 - oe_ins - (jidx - 1) * e_ins, 0),
-                  0)).astype(dt)
-    init_e = jnp.zeros((blk_b, qmax), dt)
-
-    # Mosaic cannot carry i1 vectors through scf.while -> done is int32
-    valid = (qlen > 0) & (tlen > 0) & (h0 > 0)
-    done0 = 1 - valid.astype(jnp.int32)
-
-    def row(c):
-        (i, tgt_rot, eh_h, eh_e, beg0, end0, done, best, max_i, max_jv,
-         max_ie, gscore, max_off) = c
-        iv = jnp.asarray(i, dt)
-        active = (done == 0) & (iv < tlen)
-
-        # adaptive band clamp
-        beg = jnp.maximum(beg0, iv - aw)
-        end = jnp.minimum(jnp.minimum(end0, iv + aw + 1), qlen)
-        h1_first = jnp.where(
-            beg == 0,
-            jnp.maximum(h0 - (o_del + e_del * (iv + 1)), 0), 0).astype(dt)
-
-        # current target symbol: lane 0 of the rolled copy (Mosaic forbids
-        # dynamic lane slicing; a static slice + per-row roll is cheap)
-        t_col = tgt_rot[:, 0:1]                   # (BLK_B, 1)
-        s = jnp.where(query_isN | (t_col > 3), -1,
-                      jnp.where(query == t_col, a, -b))
-
-        in_band = (jidx >= beg) & (jidx < end)
-        M = jnp.where(in_band & (eh_h != 0), eh_h + s, 0)
-        E_b = jnp.where(in_band, eh_e, 0)
-
-        G = jnp.maximum(M - oe_ins, 0)
-        Pk = jnp.where(in_band, G + ej, NEG)
-        S = _prefix_max(Pk, jidx, qmax, NEG)
-        Sm1 = _shift_right(S, 1, NEG, jidx)
-        F = jnp.maximum(Sm1 - ejm1, 0)
-        F = jnp.where(jidx == beg, 0, F)
-
-        H = jnp.maximum(jnp.maximum(M, E_b), F)
-        H = jnp.where(in_band, H, 0)
-
-        row_max = _rmax(H, dt)
-        is_max = in_band & (H == row_max)
-        mj = _rmax(jnp.where(is_max, jidx, jnp.asarray(-1, dt)), dt)
-        eq_end = jidx == end
-        Hsh = _shift_right(H, 1, 0, jidx)
-        Hsh = jnp.where(jidx == beg, h1_first, Hsh)
-        # h1_last = H[end-1]; NOT Hsh[end] — lane `end` does not exist
-        # when end == qmax
-        h1_last = _rmax(jnp.where(jidx == end - 1, H, NEG), dt)
-        h1_last = jnp.where(end > beg, h1_last, h1_first)
-
-        # eh writeback on [beg, end] (stale values outside are semantics)
-        wb = (in_band | eq_end) & active
-        new_eh_h = jnp.where(wb, Hsh, eh_h)
-        Enew = jnp.maximum(E_b - e_del, jnp.maximum(M - oe_del, 0))
-        Enew = jnp.where(eq_end, 0, Enew)
-        new_eh_e = jnp.where(wb, Enew, eh_e)
-
-        # gscore / max_ie at the query boundary
-        at_qend = active & (end == qlen)
-        upd_ie = at_qend & jnp.logical_not(gscore > h1_last)
-        max_ie = jnp.where(upd_ie, iv, max_ie)
-        gscore = jnp.where(at_qend, jnp.maximum(gscore, h1_last), gscore)
-
-        break_zero = active & (row_max == 0)
-        improved = active & (row_max > best)
-        best = jnp.where(improved, row_max, best)
-        new_max_i = jnp.where(improved, iv, max_i)
-        new_max_j = jnp.where(improved, mj, max_jv)
-        max_off = jnp.where(
-            improved, jnp.maximum(max_off, jnp.abs(mj - iv)), max_off)
-
-        if zdrop > 0:
-            di = iv - max_i
-            dj = mj - max_jv
-            pen = jnp.where(di > dj, (di - dj) * e_del, (dj - di) * e_ins)
-            break_z = active & (~break_zero) & (~improved) & (
-                best - row_max - pen > zdrop)
-        else:
-            break_z = jnp.zeros_like(break_zero)
-
-        done = jnp.maximum(
-            done, (break_zero | break_z | (iv + 1 >= tlen)).astype(jnp.int32))
-
-        # zero-run band trimming on the updated eh
-        scan = in_band & ((new_eh_h != 0) | (new_eh_e != 0))
-        first_nz = _rmin(jnp.where(scan, jidx, BIG), dt)
-        new_beg = jnp.minimum(first_nz, end)
-        last_in = _rmax(jnp.where(scan, jidx, beg - 1), dt)
-        last_nz = jnp.maximum(last_in, jnp.where(h1_last != 0, end, beg - 1))
-        new_end = jnp.minimum(last_nz + 2, qlen)
-
-        sel = lambda x, y: jnp.where(active, x, y)
-        # roll left by 1 == roll right by TMAX-1 (pltpu.roll needs shift>=0)
-        return (i + 1, pltpu.roll(tgt_rot, tgt_rot.shape[1] - 1, axis=1),
-                new_eh_h, new_eh_e, sel(new_beg, beg0), sel(new_end, end0),
-                done, best, new_max_i, new_max_j, max_ie, gscore, max_off)
-
-    z1 = jnp.zeros((blk_b, 1), dt)
-    m1 = jnp.full((blk_b, 1), -1, dt)
-    carry = (jnp.int32(0), target_ref[:, :].astype(dt), init_h, init_e,
-             z1, qlen, done0, h0, m1, m1, m1, m1, z1)
-    tmax = tmax_ref[g]
-
-    def cond(c):
-        return (c[0] < tmax) & (jnp.min(c[6]) == 0)
-
-    carry = jax.lax.while_loop(cond, row, carry)
-    (_, _, _, _, _, _, _, best, max_i, max_jv, max_ie, gscore,
-     max_off) = carry
-
-    out_ref[:, :] = jnp.concatenate(
-        [best, max_jv + 1, max_i + 1, max_ie + 1, gscore, max_off, aw, z1],
-        axis=1).astype(jnp.int32)
-
-
-def extend_batch_raw(query, target, scal, tmax, params: ExtendParams, *,
-                     blk_b: int = 128, interpret: bool = False,
-                     compute_dtype=None):
-    """The bare kernel invocation: returns the (B, 8) result matrix
-    [score, qle, tle, gtle, gscore, max_off, aw, 0].
-
-    `scal` is the (B, 8) int32 per-task scalar block [qlen, tlen, aw, h0,
-    0...]; `tmax` the (B//blk_b,) per-block row bound.  Keeping packing on
-    the host makes the jitted program essentially just the pallas_call —
-    important here because the axon remote XLA compile is pathologically
-    slow for composite programs while Mosaic kernels compile in seconds.
-    """
-    B, qmax = query.shape
-    assert B % blk_b == 0, (B, blk_b)
-    grid = B // blk_b
-    mat = np.asarray(params.mat_flat).reshape(params.m, params.m)
-    a = int(mat[0, 0])
-    b = -int(mat[0, 1])
-
-    if compute_dtype is None:
-        # int16 is exact when every intermediate fits 15 bits: positions
-        # (tlen <= 2047), scores (<= qlen*a + 255), the scan keys
-        # (<= max + e_ins*qmax) and penalty products (e_* * tlen)
-        # NOTE: this Mosaic build rejects i16 arithmetic ("Only i32
-        # addition is supported"); keep int32 until the toolchain catches
-        # up — the dt plumbing below already supports it.
-        compute_dtype = jnp.int32
-
-    kernel = functools.partial(
-        _extend_kernel, qmax=qmax, a=a, b=b,
-        o_del=params.o_del, e_del=params.e_del,
-        o_ins=params.o_ins, e_ins=params.e_ins, zdrop=params.zdrop,
-        dt=compute_dtype)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((blk_b, qmax), lambda g, *_: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_b, target.shape[1]), lambda g, *_: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_b, 8), lambda g, *_: (g, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk_b, 8), lambda g, *_: (g, 0),
-                               memory_space=pltpu.VMEM),
-    )
-
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 8), jnp.int32),
-        interpret=interpret,
-    )(tmax, jnp.asarray(query, jnp.int32), jnp.asarray(target, jnp.int32),
-      scal)
 
 
 def params_vector(params: ExtendParams) -> np.ndarray:
@@ -671,8 +473,7 @@ def pack_scal(qlen, tlen, aw, h0, blk_b: int = 128):
 
 def extend_batch_core(query, qlen, target, tlen, aw, h0,
                       params: ExtendParams, *, blk_b: int = 128,
-                      interpret: bool = False, layout: str = "t",
-                      ) -> ExtendOut:
+                      interpret: bool = False) -> ExtendOut:
     """One banded extension pass (no doubling) — Pallas TPU fast path.
 
     Same contract as extend_jax.extend_batch_core.  B must be a multiple
@@ -689,14 +490,9 @@ def extend_batch_core(query, qlen, target, tlen, aw, h0,
     tl = tlen.reshape(grid, blk_b)
     vq = qlen.reshape(grid, blk_b)
     tmax = jnp.max(jnp.where(vq > 0, tl, 0), axis=1)
-    if layout == "t":
-        out_t = extend_batch_raw_t(
-            jnp.asarray(query, jnp.int32).T, jnp.asarray(target, jnp.int32).T,
-            scal.T, tmax, params, blk_l=blk_b, interpret=interpret)
-        out = out_t.T
-    else:
-        out = extend_batch_raw(query, target, scal, tmax, params,
-                               blk_b=blk_b, interpret=interpret)
+    out = extend_batch_raw_t(
+        jnp.asarray(query, jnp.int32).T, jnp.asarray(target, jnp.int32).T,
+        scal.T, tmax, params, blk_l=blk_b, interpret=interpret).T
     return ExtendOut(
         score=out[:, 0], qle=out[:, 1], tle=out[:, 2], gtle=out[:, 3],
         gscore=out[:, 4], max_off=out[:, 5], w_used=out[:, 6])
@@ -705,7 +501,7 @@ def extend_batch_core(query, qlen, target, tlen, aw, h0,
 def extend_batch(query, qlen, target, tlen, w, h0, max_ins, max_del,
                  params: ExtendParams, prev_score=None,
                  max_band_try: int = 2, *, blk_b: int = 128,
-                 interpret: bool = False, layout: str = "t") -> ExtendOut:
+                 interpret: bool = False) -> ExtendOut:
     """Full extension with inline band doubling (select-based, FPGA-style:
     sw_extend.v:1765/1963 runs the k<2 retry inside the kernel)."""
     if prev_score is None:
@@ -717,8 +513,7 @@ def extend_batch(query, qlen, target, tlen, w, h0, max_ins, max_del,
         awk = jnp.minimum(jnp.minimum(jnp.asarray(w, jnp.int32) << k,
                                       max_ins), max_del)
         o = extend_batch_core(query, qlen, target, tlen, awk, h0, params,
-                              blk_b=blk_b, interpret=interpret,
-                              layout=layout)
+                              blk_b=blk_b, interpret=interpret)
         o = o._replace(w_used=awk)
         conv_k = (o.score == prev) | (o.max_off < ((awk >> 1) + (awk >> 2)))
         if out is None:
