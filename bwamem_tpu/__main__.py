@@ -167,6 +167,35 @@ def cmd_mem(args) -> int:
                         iter_fastq_chunks(args.mates, args.b))
     else:
         chunks = iter_fastq_chunks(args.reads, args.b)
+    # multi-host scale-out (SURVEY §7 step 6): each process aligns the
+    # strided shard_reads assignment and writes its own SAM; `merge`
+    # restores input order byte-identically.  --shard K/N is explicit;
+    # under the JAX distributed runtime (JAX_COORDINATOR set, e.g. a
+    # TPU-pod launcher) the shard is derived from the process id.
+    shard_id, n_shards = 0, 1
+    if args.shard:
+        shard_id, n_shards = (int(x) for x in args.shard.split("/"))
+        if not 0 <= shard_id < n_shards:
+            sys.stderr.write(f"[mem] bad --shard {args.shard}\n")
+            return 1
+    elif os.environ.get("JAX_COORDINATOR"):
+        from bwamem_tpu.parallel.multihost import init_distributed
+
+        shard_id, n_shards = init_distributed()
+    if n_shards > 1:
+        from bwamem_tpu.parallel.multihost import (
+            shard_chunk_stream,
+            shard_pair_stream,
+        )
+
+        if pair_iter is not None:
+            pair_iter = shard_pair_stream(pair_iter, shard_id, n_shards,
+                                          args.b)
+        else:
+            chunks = shard_chunk_stream(chunks, shard_id, n_shards,
+                                        args.b)
+        sys.stderr.write(f"[mem] shard {shard_id}/{n_shards} "
+                         f"(strided)\n")
     use_native = (args.host != "python" and args.backend != "scalar"
                   and native_driver.available())
     out = sys.stdout
@@ -435,6 +464,27 @@ def cmd_mem(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    import tempfile
+
+    from bwamem_tpu.parallel.multihost import merge_sam_files
+
+    if args.out == "-":
+        with tempfile.NamedTemporaryFile("r", suffix=".sam",
+                                         delete=False) as tf:
+            tmp = tf.name
+        n = merge_sam_files(args.shards, tmp)
+        with open(tmp) as f:
+            for line in f:
+                sys.stdout.write(line)
+        os.unlink(tmp)
+    else:
+        n = merge_sam_files(args.shards, args.out)
+    sys.stderr.write(f"[merge] {n} records from {len(args.shards)} "
+                     f"shard(s)\n")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="bwamem_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -523,7 +573,22 @@ def main(argv=None) -> int:
                      help="run SMEM seeding + SA lookups on device "
                           "(ops/smem_jax; for CPU-starved hosts; "
                           "references < 2^31 two-strand symbols)")
+    mem.add_argument("--shard", default=None, metavar="K/N",
+                     help="multi-host scale-out: align only the strided "
+                          "shard K of N (reads K, K+N, K+2N, ...); one "
+                          "process per shard, then `merge` the SAMs. "
+                          "Derived from the JAX distributed runtime "
+                          "when JAX_COORDINATOR is set and --shard "
+                          "is not")
     mem.set_defaults(fn=cmd_mem)
+
+    mg = sub.add_parser(
+        "merge", help="merge per-shard SAM files back into input order "
+                      "(byte-identical to a single-process run)")
+    mg.add_argument("out", help="output SAM path ('-' = stdout)")
+    mg.add_argument("shards", nargs="+",
+                    help="per-shard SAM files, in shard-id order")
+    mg.set_defaults(fn=cmd_merge)
 
     args = ap.parse_args(argv)
     return args.fn(args)

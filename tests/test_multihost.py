@@ -35,8 +35,12 @@ def test_merge_sam_files(tmp_path):
             f.write(hdr)
             for i in shard_reads(n, s, k):
                 f.write(f"q{i}\t0\tc\t{i+1}\t60\t5M\t*\t0\t0\tACGTA\t*\n")
-                if i % 2:  # paired second record for some reads
-                    f.write(f"q{i}\t16\tc\t{i+5}\t60\t5M\t*\t0\t0\tACGTA\t*\n")
+                if i % 2:  # supplementary second record for some reads
+                    # (extra records of a unit are always flagged
+                    # secondary 0x100 or supplementary 0x800 — the
+                    # sam_units grouping contract)
+                    f.write(f"q{i}\t2064\tc\t{i+5}\t60\t5M\t*\t0\t0"
+                            f"\tACGTA\t*\n")
         paths.append(str(p))
     out = tmp_path / "merged.sam"
     nrec = merge_sam_files(paths, str(out))
