@@ -278,11 +278,10 @@ def _bind_mempipe(lib):
     # device-rescue wave protocol (mem_matesw batched on-device)
     lib.mp_pe_prepare.restype = None
     lib.mp_pe_prepare.argtypes = [ctypes.c_void_p, i64, i64]
-    lib.mp_rescue_phase_begin.restype = i64
-    lib.mp_rescue_phase_begin.argtypes = [ctypes.c_void_p, i64]
+    lib.mp_rescue_begin.restype = i64
+    lib.mp_rescue_begin.argtypes = [ctypes.c_void_p]
     lib.mp_rescue_wave_build.restype = i64
-    lib.mp_rescue_wave_build.argtypes = [ctypes.c_void_p, i64, i64, p64,
-                                         p64]
+    lib.mp_rescue_wave_build.argtypes = [ctypes.c_void_p, i64, p64, p64]
     lib.mp_rescue_fill.restype = None
     lib.mp_rescue_fill.argtypes = [ctypes.c_void_p, pi8, i64, pi8, i64,
                                    p32, i64]

@@ -474,57 +474,59 @@ class NativePipeline:
         return text, int(nrec)
 
     def _device_rescue(self, rescue_fn):
-        """mem_matesw wave loop: end phase e (anchor end), wave k
-        (anchor rank).  Each wave ships every pair's k-th-anchor rescue
-        windows as ONE padded device batch; bwa's sequential-anchor
-        semantics survive because the skip test for anchor k runs in
-        C++ against the regions waves 0..k-1 appended."""
+        """mem_matesw wave loop: wave k ships the k-th-anchor rescue
+        windows of BOTH ends of every pair as ONE padded device batch.
+        bwa's sequential-anchor semantics survive because (a) the skip
+        test for anchor k runs in C++ against the regions waves 0..k-1
+        appended, and (b) the two ends' chains touch disjoint region
+        lists (end-0 anchors test/append the end-1 list and vice
+        versa), exactly as under bwa's up-front b[0]/b[1] snapshot —
+        so fusing the ends halves the tunnel round trips per chunk."""
         import time
 
         o = self.opt
         mq, mt = ctypes.c_int64(), ctypes.c_int64()
-        for e in (0, 1):
-            waves = int(self.lib.mp_rescue_phase_begin(self.h, e))
-            for k in range(waves):
-                ntask = int(self.lib.mp_rescue_wave_build(
-                    self.h, e, k, ctypes.byref(mq), ctypes.byref(mt)))
-                if ntask == 0:
-                    continue
-                lq = _bucket(max(int(mq.value), 1))
-                lt = _bucket(max(int(mt.value), 1),
-                             (512, 1024, 2048, 4096, 8192, 16384))
-                Bp = _bucket(max(ntask, 256),
-                             (256, 512, 1024, 2048, 4096, 8192, 16384))
-                t0 = time.time()
-                if getattr(rescue_fn, "idx", False):
-                    # resident-reference waves: meta only, windows
-                    # gathered on device
-                    meta = np.zeros((6, Bp), np.int32)
-                    self.lib.mp_rescue_fill_idx(
-                        self.h, meta.ctypes.data_as(_P32), Bp)
-                    lens = meta[:2]
-                    out = np.ascontiguousarray(rescue_fn(
-                        self._nib_reads(), meta, self.opt.mat, o.o_del,
-                        o.e_del, o.o_ins, o.e_ins, lq, lt), np.int32)
-                else:
-                    seq = np.zeros((Bp, lq), np.int8)
-                    rseq = np.zeros((Bp, lt), np.int8)
-                    lens = np.zeros((2, Bp), np.int32)
-                    self.lib.mp_rescue_fill(
-                        self.h, seq.ctypes.data_as(_PI8), lq,
-                        rseq.ctypes.data_as(_PI8), lt,
-                        lens.ctypes.data_as(_P32), Bp)
-                    out = np.ascontiguousarray(np.asarray(rescue_fn(
-                        seq, rseq, lens, self.opt.mat, o.o_del, o.e_del,
-                        o.o_ins, o.e_ins)), np.int32)
-                if self.tracer is not None:
-                    self.tracer.batch(
-                        f"rescue_e{e}w{k}", ntask,
-                        int(lens[0].astype(np.int64) @
-                            lens[1].astype(np.int64)),
-                        time.time() - t0, Bp=Bp, qmax=lq, tmax=lt)
-                self.lib.mp_rescue_apply(
-                    self.h, out.ctypes.data_as(_P32), Bp)
+        waves = int(self.lib.mp_rescue_begin(self.h))
+        for k in range(waves):
+            ntask = int(self.lib.mp_rescue_wave_build(
+                self.h, k, ctypes.byref(mq), ctypes.byref(mt)))
+            if ntask == 0:
+                continue
+            lq = _bucket(max(int(mq.value), 1))
+            lt = _bucket(max(int(mt.value), 1),
+                         (512, 1024, 2048, 4096, 8192, 16384))
+            Bp = _bucket(max(ntask, 256),
+                         (256, 512, 1024, 2048, 4096, 8192, 16384))
+            t0 = time.time()
+            if getattr(rescue_fn, "idx", False):
+                # resident-reference waves: meta only, windows
+                # gathered on device
+                meta = np.zeros((6, Bp), np.int32)
+                self.lib.mp_rescue_fill_idx(
+                    self.h, meta.ctypes.data_as(_P32), Bp)
+                lens = meta[:2]
+                out = np.ascontiguousarray(rescue_fn(
+                    self._nib_reads(), meta, self.opt.mat, o.o_del,
+                    o.e_del, o.o_ins, o.e_ins, lq, lt), np.int32)
+            else:
+                seq = np.zeros((Bp, lq), np.int8)
+                rseq = np.zeros((Bp, lt), np.int8)
+                lens = np.zeros((2, Bp), np.int32)
+                self.lib.mp_rescue_fill(
+                    self.h, seq.ctypes.data_as(_PI8), lq,
+                    rseq.ctypes.data_as(_PI8), lt,
+                    lens.ctypes.data_as(_P32), Bp)
+                out = np.ascontiguousarray(np.asarray(rescue_fn(
+                    seq, rseq, lens, self.opt.mat, o.o_del, o.e_del,
+                    o.o_ins, o.e_ins)), np.int32)
+            if self.tracer is not None:
+                self.tracer.batch(
+                    f"rescue_w{k}", ntask,
+                    int(lens[0].astype(np.int64) @
+                        lens[1].astype(np.int64)),
+                    time.time() - t0, Bp=Bp, qmax=lq, tmax=lt)
+            self.lib.mp_rescue_apply(
+                self.h, out.ctypes.data_as(_P32), Bp)
 
     def _emit_blob(self, nrec, names, quals, newline=False):
         """Render the chunk's records as one SAM text blob in C++

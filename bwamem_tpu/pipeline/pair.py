@@ -405,13 +405,25 @@ def mem_matesw(opt: MemOptions, ref: Reference, pes: list[PEStat],
 def rescue_pairs(opt: MemOptions, ref: Reference, pes: list[PEStat],
                  reads, regs2) -> None:
     """The mem_sam_pe rescue loop: for each end's near-best regions,
-    try to rescue the other end (up to max_matesw anchors)."""
+    try to rescue the other end (up to max_matesw anchors).
+
+    BOTH ends' anchor lists are snapshotted BEFORE any matesw runs —
+    exactly bwa-0.7.8's b[0]/b[1] kv_push loops in mem_sam_pe
+    (bwamem_pair.c): a region rescued by end 0 never becomes an end-1
+    anchor within the same pair.  (Round-2 snapshotted per end, a
+    parity deviation; the up-front snapshot also makes the two ends'
+    rescue chains independent, which the device wave protocol exploits
+    by batching both ends' wave k into one dispatch.)"""
+    anchors2 = []
     for i in (0, 1):
         regs_i = regs2[i]
         if not regs_i:
+            anchors2.append([])
             continue
         best = max(r.score for r in regs_i)
-        anchors = [r for r in regs_i
-                   if r.score >= best - opt.pen_unpaired]
-        for a in anchors[:opt.max_matesw]:
+        anchors2.append([r for r in regs_i
+                         if r.score >= best - opt.pen_unpaired
+                         ][:opt.max_matesw])
+    for i in (0, 1):
+        for a in anchors2[i]:
             mem_matesw(opt, ref, pes, a, reads[1 - i], regs2[1 - i])

@@ -1232,27 +1232,31 @@ int mem_matesw(const MemPipe& mp, const PEStatC pes[4],
   return n;
 }
 
-// pair.py rescue_pairs
+// pair.py rescue_pairs.  BOTH ends' anchor lists snapshot BEFORE any
+// matesw runs — bwa-0.7.8's up-front b[0]/b[1] kv_push loops in
+// mem_sam_pe: a region rescued by end 0 never becomes an end-1 anchor
+// within the same pair.
 void rescue_pairs(MemPipe& mp, const PEStatC pes[4], int64_t n_pairs,
                   int64_t i) {
   const Opt& o = mp.opt;
+  std::vector<RegionC> anchors2[2];
   for (int e = 0; e < 2; ++e) {
     auto& regs_i = mp.per[e == 0 ? i : n_pairs + i].regions;
     if (regs_i.empty()) continue;
     int64_t best = regs_i[0].score;
     for (const auto& r : regs_i) best = std::max(best, r.score);
-    // anchors iterated in list order, capped at max_matesw; the mate's
-    // region list grows during the loop (matesw appends)
-    std::vector<RegionC> anchors;
     for (const auto& r : regs_i)
-      if (r.score >= best - o.pen_unpaired) anchors.push_back(r);
+      if (r.score >= best - o.pen_unpaired) anchors2[e].push_back(r);
+    if ((int64_t)anchors2[e].size() > o.max_matesw)
+      anchors2[e].resize((size_t)o.max_matesw);
+  }
+  for (int e = 0; e < 2; ++e) {
     int64_t other_read = e == 0 ? n_pairs + i : i;
     const uint8_t* mate = mp.reads + other_read * mp.L;
     int64_t l_ms = mp.qlen[other_read];
     auto& mate_regs = mp.per[other_read].regions;
-    int64_t cap = std::min((int64_t)anchors.size(), o.max_matesw);
-    for (int64_t k = 0; k < cap; ++k)
-      mem_matesw(mp, pes, anchors[k], mate, l_ms, mate_regs);
+    for (const auto& a : anchors2[e])
+      mem_matesw(mp, pes, a, mate, l_ms, mate_regs);
   }
 }
 
@@ -2067,19 +2071,29 @@ void mp_pe_prepare(void* h, int64_t n_pairs, int64_t nthreads) {
 // Build the per-pair anchor lists for end phase e (e = 0: read-1
 // regions anchor read-2 rescues; e = 1: vice versa, including regions
 // rescued during phase 0).  Returns the number of waves.
-int64_t mp_rescue_phase_begin(void* h, int64_t e) {
+// Snapshot BOTH ends' anchor lists up front (bwa's b[0]/b[1]) and
+// return the wave count = the longest anchor list over both ends and
+// all pairs.  The two ends' rescue chains touch DISJOINT region lists
+// (end-0 anchors test/append the end-1 list and vice versa), so wave k
+// batches both ends' k-th anchors into ONE device dispatch — half the
+// round trips of the round-2 per-end phases, with bwa's sequential
+// semantics intact (each list still receives its appends in anchor
+// order).
+int64_t mp_rescue_begin(void* h) {
   MemPipe& mp = *static_cast<MemPipe*>(h);
   const Opt& o = mp.opt;
   int64_t n_pairs = mp.pe_npairs;
-  mp.rescue_anchors.assign((size_t)n_pairs, {});
+  mp.rescue_anchors.assign((size_t)(2 * n_pairs), {});
   int64_t waves = 0;
-  for (int64_t i = 0; i < n_pairs; ++i) {
-    auto& regs_i = mp.per[e == 0 ? i : n_pairs + i].regions;
-    if (regs_i.empty()) continue;
-    int64_t best = regs_i[0].score;
-    for (const auto& r : regs_i) best = std::max(best, r.score);
-    auto& anchors = mp.rescue_anchors[i];
-    for (const auto& r : regs_i)
+  // read index ei covers both ends: end 0 = pairs 0..n-1, end 1 =
+  // reads n..2n-1
+  for (int64_t ei = 0; ei < 2 * n_pairs; ++ei) {
+    auto& regs = mp.per[ei].regions;
+    if (regs.empty()) continue;
+    int64_t best = regs[0].score;
+    for (const auto& r : regs) best = std::max(best, r.score);
+    auto& anchors = mp.rescue_anchors[(size_t)ei];
+    for (const auto& r : regs)
       if (r.score >= best - o.pen_unpaired) anchors.push_back(r);
     if ((int64_t)anchors.size() > o.max_matesw)
       anchors.resize((size_t)o.max_matesw);
@@ -2088,15 +2102,16 @@ int64_t mp_rescue_phase_begin(void* h, int64_t e) {
   return waves;
 }
 
-int64_t mp_rescue_wave_build(void* h, int64_t e, int64_t k,
-                             int64_t* max_q, int64_t* max_t) {
+int64_t mp_rescue_wave_build(void* h, int64_t k, int64_t* max_q,
+                             int64_t* max_t) {
   MemPipe& mp = *static_cast<MemPipe*>(h);
   int64_t n_pairs = mp.pe_npairs;
   mp.rescue_tasks.clear();
-  for (int64_t i = 0; i < n_pairs; ++i) {
-    const auto& anchors = mp.rescue_anchors[i];
+  for (int64_t ei = 0; ei < 2 * n_pairs; ++ei) {
+    const auto& anchors = mp.rescue_anchors[(size_t)ei];
     if (k >= (int64_t)anchors.size()) continue;
-    int64_t other = e == 0 ? n_pairs + i : i;
+    // the mate of read ei: end 0 (ei < n_pairs) pairs with ei+n_pairs
+    int64_t other = ei < n_pairs ? ei + n_pairs : ei - n_pairs;
     matesw_emit(mp, mp.pe_stat, anchors[(size_t)k],
                 mp.reads + other * mp.L, mp.qlen[other],
                 mp.per[other].regions, other, mp.rescue_tasks);
