@@ -59,6 +59,22 @@ class DeviceOcc:
         self.C = jnp.asarray(po.C)
         self.primary = po.primary
         self.n_rows = po.n_rows
+        self._smem1_jit = None
+        self._smem_all_jit = None
+
+    def smem1_jit(self):
+        """Lazily-cached jitted smem1 kernel: repeat chunks (and
+        split re-seed jobs) reuse one compiled executable instead of
+        rebuilding a fresh jax.jit wrapper per call — through the
+        remote compile service a dispatch-cache miss costs minutes."""
+        if self._smem1_jit is None:
+            self._smem1_jit = make_smem1_device(self)
+        return self._smem1_jit
+
+    def smem_all_jit(self):
+        if self._smem_all_jit is None:
+            self._smem_all_jit = make_smem_all_device(self)
+        return self._smem_all_jit
 
 
 class _Shim:
@@ -276,6 +292,14 @@ def _smem_all_kernel(occ_rows, pk_rows, va_rows, C, primary, n_rows,
     B, L = q.shape
     bI = jnp.arange(B)
     kI = jnp.arange(M_CAP)
+    # next non-N position at-or-after j, precomputed once: a lane
+    # sitting on an N run jumps straight past it instead of paying one
+    # full (dead) smem1 round per N base — same per-read smem1 call
+    # sequence, fewer lockstep rounds (ADVICE round 2)
+    idxL = jnp.arange(L, dtype=jnp.int32)[None, :]
+    nn = jnp.where(q <= 3, idxL, L)
+    next_nn = jnp.flip(jax.lax.cummin(jnp.flip(nn, axis=1), axis=1),
+                       axis=1)
 
     def cond(c):
         return jnp.any(c[0] < qlen)
@@ -284,8 +308,8 @@ def _smem_all_kernel(occ_rows, pk_rows, va_rows, C, primary, n_rows,
         x, sl_qb, sl_qe, sl_x0, sl_x1, sl_s, cnt, ovf = c
         at = q[bI, jnp.minimum(x, L - 1)]
         todo = x < qlen
-        skip = todo & (at > 3)          # N position: advance, no search
-        x_adv = jnp.where(skip, x + 1, x)
+        skip = todo & (at > 3)          # N run: jump past it, no search
+        x_adv = jnp.where(skip, next_nn[bI, jnp.minimum(x, L - 1)], x)
         active = todo & ~skip
         xs_eff = jnp.where(active, x_adv, qlen).astype(jnp.int32)
         ret, o, m_qb, m_qe, m_x0, m_x1, m_s, m_n = _smem1_kernel(
@@ -352,7 +376,7 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
     for b, r in enumerate(reads):
         q[b, :len(r)] = r
         qlen[b] = len(r)
-    dev = smem1_fn if smem1_fn is not None else make_smem1_device(d)
+    dev = smem1_fn if smem1_fn is not None else d.smem1_jit()
     qd = jnp.asarray(q)
     qlen_d = jnp.asarray(qlen)
 
@@ -368,10 +392,15 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
                   jnp.asarray(mis.astype(np.int32)))
         o_ret, o_ovf, o_qb, o_qe, o_x0, o_x1, o_s, o_n = out
         K = o_qb.shape[1]
-        dt = o_qb.dtype  # the kernel's native row dtype (int32 here)
+        # pack in the WIDEST output dtype: a future 64-bit kernel twin
+        # (>2^31-symbol texts) must fail loudly or widen, never
+        # silently truncate through an int32 astype (ADVICE round 2)
+        dt = o_qb.dtype
+        for o in (o_x0, o_x1, o_s, o_ret):
+            dt = jnp.promote_types(dt, o.dtype)
         packed = np.asarray(jnp.concatenate(
             [o_ret[:, None].astype(dt), o_ovf[:, None].astype(dt),
-             o_n[:, None].astype(dt), o_qb, o_qe,
+             o_n[:, None].astype(dt), o_qb.astype(dt), o_qe.astype(dt),
              o_x0.astype(dt), o_x1.astype(dt), o_s.astype(dt)], axis=1))
         ret, overflow, m_n = packed[:, 0], packed[:, 1], packed[:, 2]
         m_qb = packed[:, 3:3 + K]
@@ -403,7 +432,7 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
     if smem1_fn is None:
         # fused first round: ONE dispatch + ONE fetch for the chunk
         if all_fn is None:
-            all_fn = make_smem_all_device(d)
+            all_fn = d.smem_all_jit()
         packed = np.asarray(all_fn(qd, qlen_d,
                                    jnp.int32(min_seed_len)))
         cnt, ovf = packed[:, 0], packed[:, 1]
@@ -432,13 +461,19 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
                        for k in range(int(cnt[b]))]
     else:
         x = np.zeros(B, np.int32)
+        # next non-N position at-or-after j (N runs jump in one round
+        # instead of one dead round per N base — ADVICE round 2)
+        nn_np = np.where(q <= 3, np.arange(L, dtype=np.int32)[None, :], L)
+        next_nn = np.minimum.accumulate(nn_np[:, ::-1], axis=1)[:, ::-1]
         while True:
             todo = x < qlen
             if not todo.any():
                 break
             at = q[np.arange(B), np.minimum(x, L - 1)]
             skip = todo & (at > 3)
-            x = np.where(skip, x + 1, x).astype(np.int32)
+            x = np.where(skip, next_nn[np.arange(B),
+                                       np.minimum(x, L - 1)],
+                         x).astype(np.int32)
             run_mask = todo & ~skip
             if not run_mask.any():
                 continue
@@ -597,7 +632,7 @@ def make_device_seeder(po: PackedOcc, fm, opt):
     chunk's SMEM search and SA walks on the device."""
     d = DeviceOcc(po)
     sa_fn = make_sa_batch_device(d, fm.ssa, fm.sa_intv)
-    all_fn = make_smem_all_device(d)
+    all_fn = d.smem_all_jit()
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
 
     def seed_fn(reads):

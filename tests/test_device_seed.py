@@ -124,11 +124,17 @@ def test_device_seeded_degenerate_reads(world):
 
     ref, fm, po, _rng = world
     rng = np.random.default_rng(99)
+    mid_n = fm.pac[800:950].astype(np.int64).copy()
+    mid_n[40:70] = 4  # interior N run (exercises the next-non-N jump)
+    tail_n = fm.pac[200:350].astype(np.int64).copy()
+    tail_n[120:] = 4  # N run through the read end
     reads = [
         np.full(80, 4, np.int64),                      # all N
         np.array([0, 1, 2, 3], np.int64),              # shorter than -k
         rng.integers(0, 4, 120).astype(np.int64),      # random junk
         fm.pac[500:650].astype(np.int64),              # mappable
+        mid_n,
+        tail_n,
     ]
     opt = MemOptions()
     _row_fn, raw_t_fn = _backends(opt)
