@@ -63,9 +63,13 @@ def rows_catalog(quick: bool):
     # takes ~66 min to build; bench/index_scale.py --single-build or a
     # prior ladder run leaves it in /tmp)
     if os.path.exists("/tmp/bwamem_bench_idx_3100000000.npz"):
+        # larger chunks amortize the per-batch overhead that dominates
+        # at GRCh38 scale (b2048: ~17k, b4096: 21-22k reads/s); at
+        # 60 Mb the smaller chunk wins instead (36.4k vs 26.5k)
         rows.append(
-            ("se3100", [TP, "--genome-mb", "3100", "--reads", str(2 * r),
-                        *common], "last_float"))
+            ("se3100", [TP, "--genome-mb", "3100", "--reads", str(r),
+                        "--batch", "4096", "-t", "4", "--overlap",
+                        "--inflight", "6"], "last_float"))
     # multi-host scaling row (CPU backend: N processes share this box)
     rows.append(("multihost", ["bench/multihost.py", "--reads",
                                "40000" if quick else "80000"],

@@ -701,13 +701,16 @@ def two_strand_text_packed(pac: np.ndarray) -> np.ndarray:
 
 
 def resident_text_host(pac, force_wide: bool = False) -> np.ndarray:
-    """Host-side resident-text array: flat int8 for references under
-    2^31 two-strand symbols (single int32 gather index), else the
-    nibble-packed uint32 wide layout.  `force_wide` selects the wide
-    layout explicitly (testing / the --force-wide CLI flag)."""
-    if force_wide or 2 * len(pac) >= 1 << 31:
-        return two_strand_text_packed(pac)
-    return two_strand_text(pac)
+    """Host-side resident-text array: the nibble-packed uint32 layout
+    for EVERY reference size.  Packing was introduced for >=2^31-symbol
+    references (int32 word index covers 2^34 positions), but the
+    word-aligned window gather (_text_gather_window) measured 2.7x
+    faster than even the flat-int8 per-symbol gather (7.3 vs 19.8 ms
+    per (320, 4096) window block on v5e), so the flat layout lost its
+    only advantage; one layout now serves all sizes.  `force_wide` is
+    kept for call-site compatibility (it is now always wide)."""
+    del force_wide
+    return two_strand_text_packed(pac)
 
 
 def make_resident_text(pac, force_2d: bool = False):
@@ -738,22 +741,58 @@ def _text_gather(text, lo, hi):
     position hi*2^20 + lo (lo may have absorbed an offset of either
     sign; arithmetic >> floors, & takes the positive residue).
 
-    Flat int8 text (references under 2^31 symbols): one int32 take.
-    Packed uint32 text (the wide layout, two_strand_text_packed):
-    word index row*2^17 + col>>3 fits int32 for any position < 2^34,
-    so GRCh38-scale references also pay exactly one flat gather plus
-    a shift/mask."""
+    Flat int8 text: one int32 take (legacy; resident_text_host no
+    longer produces it).  Packed uint32 text (two_strand_text_packed):
+    since hi*2^20 has zero low bits, pos>>3 = hi*2^17 + (lo>>3) and
+    pos&7 = lo&7 — all int32 for any position < 2^34, so GRCh38-scale
+    references pay exactly one flat gather plus a shift/mask."""
     import jax.numpy as jnp
 
     if text.dtype == jnp.int8:
         pos = jnp.clip((hi << 20) + lo, 0, text.shape[0] - 1)
         return jnp.take(text, pos, axis=0).astype(jnp.int32)
-    row = hi + (lo >> 20)
-    col = lo & 0xFFFFF
-    w = jnp.clip(row * (1 << 17) + (col >> 3), 0, text.shape[0] - 1)
+    w = jnp.clip(hi * (1 << 17) + (lo >> 3), 0, text.shape[0] - 1)
     word = jnp.take(text, w, axis=0)
-    return ((word >> ((col & 7).astype(jnp.uint32) * 4)) & 0xF
+    return ((word >> ((lo & 7).astype(jnp.uint32) * 4)) & 0xF
             ).astype(jnp.int32)
+
+
+def _text_gather_window(text, lo, hi, length, sign):
+    """Gather `length` CONSECUTIVE base codes per lane from the packed
+    resident text, starting at position hi*2^20 + lo and walking
+    ascending (sign=+1) or descending (sign=-1).  Returns (length, B)
+    int32.
+
+    Consecutiveness is the whole trick: instead of one gather per
+    symbol, gather length/8 + 1 uint32 words per lane, realign each
+    lane's nibble stream by its start offset (two vector shifts + or),
+    then extract symbols with STATIC row indexing — measured 2.7x
+    faster than per-symbol gathers at the production window shape
+    (bench_out_r3 gather probe).  Falls back to per-symbol gathers for
+    a flat int8 text."""
+    import jax.numpy as jnp
+
+    if text.dtype == jnp.int8:
+        j = jnp.arange(length, dtype=jnp.int32)[:, None]
+        return _text_gather(text, lo[None, :] + sign * j, hi[None, :])
+    if sign < 0:
+        # descending window = ascending window from lo-(length-1),
+        # flipped along the symbol axis
+        lo = lo - (length - 1)
+    nw = length // 8 + 1
+    k = jnp.arange(nw, dtype=jnp.int32)[:, None]
+    base = hi * (1 << 17) + (lo >> 3)
+    W = jnp.take(text, jnp.clip(base[None, :] + k, 0, text.shape[0] - 1),
+                 axis=0)                                   # (nw, B)
+    off = ((lo & 7).astype(jnp.uint32) * 4)[None, :]
+    Wn = jnp.concatenate([W[1:], W[-1:]], axis=0)
+    # off==0 guard: x << 32 is undefined on uint32 lanes
+    v = jnp.where(off == 0, W, (W >> off) | (Wn << (32 - off)))
+    j = jnp.arange(length, dtype=jnp.int32)
+    rows = v[j >> 3]              # static row select along sublanes
+    out = ((rows >> ((j & 7)[:, None].astype(jnp.uint32) * 4)) & 0xF
+           ).astype(jnp.int32)
+    return out[::-1] if sign < 0 else out
 
 
 def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
@@ -781,9 +820,8 @@ def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
         return _nib_gather(reads_nib, ri, col_of(j))
 
     def t_gather(tmax, lo_row, hi_row, sign):
-        j = jnp.arange(tmax, dtype=jnp.int32)[:, None]
-        return _text_gather(text, scal[lo_row][None, :] + sign * j,
-                            scal[hi_row][None, :])
+        return _text_gather_window(text, scal[lo_row], scal[hi_row],
+                                   tmax, sign)
 
     # left query = reversed read prefix; right = read suffix
     ql = q_gather(qmax_l, lambda j: scal[0][None, :] - 1 - j)
@@ -872,8 +910,7 @@ def rescue_idx_local(reads_nib, meta, mat, pens, text, *, qmax, tmax):
     col = jnp.where(rev == 1, meta[0][:, None] - 1 - j, j)
     q = _nib_gather(reads_nib, meta[2][:, None], col)
     q = jnp.where((rev == 1) & (q < 4), 3 - q, q)
-    i = jnp.arange(tmax, dtype=jnp.int32)[None, :]
-    t = _text_gather(text, meta[4][:, None] + i, meta[5][:, None])
+    t = _text_gather_window(text, meta[4], meta[5], tmax, 1).T
     return _align6(q, meta[0], t, meta[1], mat, pens, qmax=qmax,
                    tmax=tmax)
 
@@ -926,9 +963,13 @@ def cigar_idx_local(reads_nib, meta, mat, pens, text, *, qmax, tmax):
     j = jnp.arange(qmax, dtype=jnp.int32)[None, :]
     q = _nib_gather(reads_nib, meta[3][:, None],
                     meta[4][:, None] + sign * j)
-    i = jnp.arange(tmax, dtype=jnp.int32)[None, :]
-    t = _text_gather(text, meta[6][:, None] + sign * i,
-                     meta[7][:, None])
+    # per-lane walk direction: one ascending window gather (reverse
+    # lanes start at t_lo - (tmax-1)), then a static flip selected per
+    # lane — still the word-aligned fast path
+    rev = meta[5] == 1
+    lo = jnp.where(rev, meta[6] - (tmax - 1), meta[6])
+    A = _text_gather_window(text, lo, meta[7], tmax, 1)   # (tmax, B)
+    t = jnp.where(rev[None, :], A[::-1], A).T
     return _global_batch(q, meta[0], t, meta[1], meta[2], mat, pens,
                          qmax=qmax, tmax=tmax)
 
