@@ -45,11 +45,6 @@ def main():
     ap.add_argument("--ship-ref", action="store_true",
                     help="ship target windows from the host instead of "
                          "gathering from the device-resident reference")
-    ap.add_argument("--force-2d", action="store_true",
-                    help="force the wide resident-text layout (the "
-                         ">=2^31-symbol GRCh38 nibble-packed uint32 "
-                         "text) even for small genomes — measures its "
-                         "gather cost vs the flat int8 text")
     ap.add_argument("--phased", action="store_true",
                     help="use the 4-pass protocol instead of the fused "
                          "whole-alignment kernel")
@@ -159,8 +154,7 @@ def main():
     rescue_fn = None
     pipes = []
     # one resident two-strand text shared by every idx backend
-    text_dev = (native_driver.make_resident_text(ref.pac,
-                                                 force_2d=args.force_2d)
+    text_dev = (native_driver.make_resident_text(ref.pac)
                 if use_native and not args.ship_ref else None)
     if args.device_rescue:
         if args.ship_ref or text_dev is None:

@@ -534,18 +534,26 @@ def make_raw_backend(params: ExtendParams, blk_l: int = 512):
     where the composite wrapper takes minutes through this
     environment's remote compile service.  Interface matches
     pipeline.driver's extend_batch_fn.
+
+    Scoring parameters ride the runtime scalar-prefetch block (`prm`
+    passed as a jit ARGUMENT, same protocol as the native-driver
+    backends): changing MemOptions scoring recompiles nothing — the
+    reference takes them per batch in header words 0-1
+    (task_parse.v:1954-1955).
     """
     import jax
 
-    fn = jax.jit(functools.partial(extend_batch_raw_t, params=params,
-                                   blk_l=blk_l))
+    prm_vec = params_vector(params)
+    fn = jax.jit(lambda q, t, scal, tmax, prm: extend_batch_raw_t(
+        q, t, scal, tmax, prm=prm, blk_l=blk_l))
 
     def backend(query, qlen, target, tlen, aw, h0):
         q = np.ascontiguousarray(np.asarray(query, np.int32).T)
         t = np.ascontiguousarray(np.asarray(target, np.int32).T)
         scal, tmax = pack_scal(np.asarray(qlen), np.asarray(tlen),
                                np.asarray(aw), np.asarray(h0), blk_b=blk_l)
-        out = np.asarray(fn(q, t, np.ascontiguousarray(scal.T), tmax))
+        out = np.asarray(fn(q, t, np.ascontiguousarray(scal.T), tmax,
+                            prm_vec))
         return ExtendOut(
             score=out[0], qle=out[1], tle=out[2], gtle=out[3],
             gscore=out[4], max_off=out[5], w_used=out[6])

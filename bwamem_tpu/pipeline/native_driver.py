@@ -700,28 +700,24 @@ def two_strand_text_packed(pac: np.ndarray) -> np.ndarray:
     return out
 
 
-def resident_text_host(pac, force_wide: bool = False) -> np.ndarray:
+def resident_text_host(pac) -> np.ndarray:
     """Host-side resident-text array: the nibble-packed uint32 layout
     for EVERY reference size.  Packing was introduced for >=2^31-symbol
     references (int32 word index covers 2^34 positions), but the
     word-aligned window gather (_text_gather_window) measured 2.7x
     faster than even the flat-int8 per-symbol gather (7.3 vs 19.8 ms
     per (320, 4096) window block on v5e), so the flat layout lost its
-    only advantage; one layout now serves all sizes.  `force_wide` is
-    kept for call-site compatibility (it is now always wide)."""
-    del force_wide
+    only advantage; one layout serves all sizes."""
     return two_strand_text_packed(pac)
 
 
-def make_resident_text(pac, force_2d: bool = False):
+def make_resident_text(pac):
     """device_put the two-strand text once; share the returned array
     across the fused/rescue/cigar resident-reference backends so the
-    reference lives in HBM exactly once.  (`force_2d` kept its round-2
-    name; since round 3 the wide layout it forces is the packed-uint32
-    flat text, not the 2-D one.)"""
+    reference lives in HBM exactly once."""
     import jax
 
-    return jax.device_put(resident_text_host(pac, force_wide=force_2d))
+    return jax.device_put(resident_text_host(pac))
 
 
 def _nib_gather(reads_nib, row, col):
@@ -737,20 +733,18 @@ def _nib_gather(reads_nib, row, col):
 
 
 def _text_gather(text, lo, hi):
-    """Gather base codes from the resident two-strand text at
-    position hi*2^20 + lo (lo may have absorbed an offset of either
-    sign; arithmetic >> floors, & takes the positive residue).
+    """Per-symbol gather from the packed resident text at position
+    hi*2^20 + lo (lo may have absorbed an offset of either sign;
+    arithmetic >> floors, & takes the positive residue).
 
-    Flat int8 text: one int32 take (legacy; resident_text_host no
-    longer produces it).  Packed uint32 text (two_strand_text_packed):
-    since hi*2^20 has zero low bits, pos>>3 = hi*2^17 + (lo>>3) and
+    Since hi*2^20 has zero low bits, pos>>3 = hi*2^17 + (lo>>3) and
     pos&7 = lo&7 — all int32 for any position < 2^34, so GRCh38-scale
-    references pay exactly one flat gather plus a shift/mask."""
+    references pay exactly one flat gather plus a shift/mask.  The
+    production paths use _text_gather_window (word-aligned, 2.7x
+    faster); this per-symbol form is its semantic oracle
+    (tests/test_native_pipe.py window-gather fuzz)."""
     import jax.numpy as jnp
 
-    if text.dtype == jnp.int8:
-        pos = jnp.clip((hi << 20) + lo, 0, text.shape[0] - 1)
-        return jnp.take(text, pos, axis=0).astype(jnp.int32)
     w = jnp.clip(hi * (1 << 17) + (lo >> 3), 0, text.shape[0] - 1)
     word = jnp.take(text, w, axis=0)
     return ((word >> ((lo & 7).astype(jnp.uint32) * 4)) & 0xF
@@ -768,13 +762,9 @@ def _text_gather_window(text, lo, hi, length, sign):
     lane's nibble stream by its start offset (two vector shifts + or),
     then extract symbols with STATIC row indexing — measured 2.7x
     faster than per-symbol gathers at the production window shape
-    (bench_out_r3 gather probe).  Falls back to per-symbol gathers for
-    a flat int8 text."""
+    (bench_out_r3 gather probe)."""
     import jax.numpy as jnp
 
-    if text.dtype == jnp.int8:
-        j = jnp.arange(length, dtype=jnp.int32)[:, None]
-        return _text_gather(text, lo[None, :] + sign * j, hi[None, :])
     if sign < 0:
         # descending window = ascending window from lo-(length-1),
         # flipped along the symbol axis
@@ -804,10 +794,10 @@ def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
     text/reads replicate and the lane axis shards).
 
     Target starts arrive as (lo20, hi) int32 pairs (scal rows 12-15).
-    `text` is either flat (Tn,) int8 — references under 2^31 symbols,
-    single int32 gather index — or flat nibble-packed uint32
-    (two_strand_text_packed) for GRCh38-scale references: still one
-    flat gather, at word index (hi + (lo>>20))*2^17 + ((lo&0xFFFFF)>>3)."""
+    `text` is the flat nibble-packed uint32 two-strand text
+    (two_strand_text_packed) — word-aligned window gathers cover any
+    reference to 2^34 positions (GRCh38 two-strand included) with int32
+    indices."""
     import jax.numpy as jnp
 
     from bwamem_tpu.ops.extend_pallas import extend_batch_raw_fused
@@ -840,8 +830,7 @@ def fused_idx_local(reads_nib, scal, tmax2, prm, text, *, qmax_l,
 
 
 def make_fused_idx_backend(params, pac, blk_l: int = 512,
-                           interpret: bool = False,
-                           force_2d: bool = False, text_dev=None):
+                           interpret: bool = False, text_dev=None):
     """Fused backend with a DEVICE-RESIDENT reference: the host ships
     only per-lane scalars + the chunk's read matrix; query/target
     windows are gathered on device from the resident two-strand text.
@@ -855,10 +844,9 @@ def make_fused_idx_backend(params, pac, blk_l: int = 512,
     (tbb.v line fetches); a TPU can instead keep the whole reference
     in HBM and fetch nothing.
 
-    References beyond 2^31 two-strand symbols (GRCh38 scale) switch to
-    the nibble-packed uint32 wide layout (two_strand_text_packed) —
-    one flat gather either way; `force_2d` selects it explicitly for
-    testing."""
+    The text is the nibble-packed uint32 layout (two_strand_text_packed)
+    at every size — one word-aligned window gather per target, int32
+    indices to 2^34 positions (GRCh38 two-strand included)."""
     import functools
 
     import jax
@@ -868,7 +856,7 @@ def make_fused_idx_backend(params, pac, blk_l: int = 512,
     prm = params_vector(params)
     a_max = int(np.max(np.asarray(params.mat_flat)))
     text = (text_dev if text_dev is not None
-            else make_resident_text(pac, force_2d))
+            else make_resident_text(pac))
 
     @functools.partial(
         jax.jit, static_argnames=("qmax_l", "tmax_l", "qmax_r", "tmax_r"))
@@ -915,8 +903,7 @@ def rescue_idx_local(reads_nib, meta, mat, pens, text, *, qmax, tmax):
                    tmax=tmax)
 
 
-def make_rescue_idx_backend(pac=None, force_2d: bool = False,
-                            text_dev=None):
+def make_rescue_idx_backend(pac=None, text_dev=None):
     """Resident-reference device mate rescue: NativePipeline's
     mp_rescue_* wave protocol ships only the (6, Bp) meta block — the
     mate sequences and reference windows are gathered on device (the
@@ -928,8 +915,7 @@ def make_rescue_idx_backend(pac=None, force_2d: bool = False,
     import jax
     import jax.numpy as jnp
 
-    text = text_dev if text_dev is not None else make_resident_text(
-        pac, force_2d)
+    text = text_dev if text_dev is not None else make_resident_text(pac)
 
     @functools.partial(jax.jit, static_argnames=("qmax", "tmax"))
     def fn(reads_nib, meta, mat, pens, text, *, qmax, tmax):
@@ -974,8 +960,7 @@ def cigar_idx_local(reads_nib, meta, mat, pens, text, *, qmax, tmax):
                          qmax=qmax, tmax=tmax)
 
 
-def make_cigar_idx_backend(pac=None, force_2d: bool = False,
-                           text_dev=None):
+def make_cigar_idx_backend(pac=None, text_dev=None):
     """Resident-reference device CIGAR: NativePipeline's mp_cigar_*
     round protocol ships only the (8, Bp) meta block; query/reference
     segments are gathered on device.  Pass `text_dev` to share the
@@ -987,8 +972,7 @@ def make_cigar_idx_backend(pac=None, force_2d: bool = False,
 
     from bwamem_tpu.ops.global_jax import pack_cigar_round
 
-    text = text_dev if text_dev is not None else make_resident_text(
-        pac, force_2d)
+    text = text_dev if text_dev is not None else make_resident_text(pac)
 
     @functools.partial(jax.jit, static_argnames=("qmax", "tmax"))
     def fn(reads_nib, meta, mat, pens, text, *, qmax, tmax):

@@ -472,23 +472,51 @@ def test_fused_idx_sam_identical(world):
         [[r.line() for r in rr] for rr in got]
 
 
-def test_fused_idx_2d_text_sam_identical(world):
-    """The GRCh38-scale wide text layout (nibble-packed uint32 words,
-    8 codes/word — int32 word addressing with borrow/carry across the
-    2^20 hi/lo split) produces the same SAM as the oracle on a small
-    genome when forced on."""
-    opt = MemOptions()
-    ref, fm, po, rng = world
-    reads, names, quals = make_reads(rng, ref, 24)
-    row_fn, _ = _backends(opt)
-    fn = native_driver.make_fused_idx_backend(
-        _params(opt), ref.pac, blk_l=128, interpret=True, force_2d=True)
-    want = align_batch(opt, ref, fm, reads, row_fn, names=names,
-                       quals=quals, po=po)
-    pipe = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128)
-    got = pipe.align_chunk(reads, fn, names=names, quals=quals)
-    assert [[r.line() for r in rr] for rr in want] == \
-        [[r.line() for r in rr] for rr in got]
+def test_text_gather_window_fuzz():
+    """Direct unit fuzz of the word-aligned window gather (the
+    production target-window path of every resident-reference backend)
+    against the per-symbol oracle _text_gather: word-straddling start
+    offsets, off==0 starts (the shift-by-32 guard), descending windows
+    (sign=-1), negative starts (padded reverse-strand CIGAR lanes),
+    the 2^20 hi/lo split, and text-edge word clamping — every sharp
+    edge of native_driver._text_gather_window."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    # odd length => the packed text ends in a partial word padded with N
+    pac = rng.integers(0, 5, (1 << 20) + 1237).astype(np.uint8)
+    text = jnp.asarray(native_driver.two_strand_text_packed(pac))
+    n = 2 * len(pac)  # two-strand symbol count, > 2^21: real hi values
+
+    def oracle(lo, hi, length, sign):
+        j = np.arange(length, dtype=np.int32)[:, None]
+        return np.asarray(native_driver._text_gather(
+            text, jnp.asarray(lo[None, :] + sign * j),
+            jnp.asarray(np.broadcast_to(hi, (length, len(lo))))))
+
+    for length in (17, 64, 129, 320):
+        B = 128
+        pos = rng.integers(0, n - length, B).astype(np.int64)
+        pos[0] = 0                        # text start
+        pos[1] = 8                        # off == 0, word-aligned
+        pos[2] = n - length               # right at the tail pad
+        pos[3] = 7                        # straddles the first word
+        pos[4] = (1 << 20) - 3            # straddles the hi/lo split
+        pos[5] = (1 << 21) - length // 2  # hi=1 region
+        # production encoding: hi = pos >> 20, lo = pos & 0xFFFFF, and
+        # lo may absorb signed offsets (descending walks, padding)
+        hi = (pos >> 20).astype(np.int32)
+        lo = (pos & 0xFFFFF).astype(np.int32)
+        lo[6] -= 1 << 20                  # borrow absorbed into lo
+        hi[6] += 1
+        lo[7] = -5                        # negative start (padded lane)
+        hi[7] = 0
+        for sign in (1, -1):
+            los = lo if sign > 0 else lo + length - 1
+            got = np.asarray(native_driver._text_gather_window(
+                text, jnp.asarray(los), jnp.asarray(hi), length, sign))
+            want = oracle(los, hi, length, sign)
+            assert (got == want).all(), (length, sign)
 
 
 def test_fused_idx_pe_sam_identical(world):
@@ -674,8 +702,8 @@ def test_pe_text_with_idx_cigar(world):
 
 def test_fused_idx_boundary_positions(world):
     """Reads anchored at the very start/end of the reference (left
-    target walks hit two-strand position 0 / 2*l_pac-1): ship ==
-    idx(1D) == idx(2D forced), byte for byte."""
+    target walks hit two-strand position 0 / 2*l_pac-1): host-shipped
+    payload == resident-reference window gathers, byte for byte."""
     opt = MemOptions()
     ref, fm, po, rng = world
     pac = ref.pac
@@ -694,14 +722,12 @@ def test_fused_idx_boundary_positions(world):
                                             interpret=True)
     idx = native_driver.make_fused_idx_backend(
         _params(opt), pac, blk_l=128, interpret=True)
-    idx2 = native_driver.make_fused_idx_backend(
-        _params(opt), pac, blk_l=128, interpret=True, force_2d=True)
     outs = []
-    for fn in (ship, idx, idx2):
+    for fn in (ship, idx):
         pipe = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128)
         outs.append([[r.line() for r in rr]
                      for rr in pipe.align_chunk(reads, fn)])
-    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == outs[1]
 
 
 def test_native_random_options_fuzz(world):
