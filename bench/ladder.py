@@ -70,6 +70,10 @@ def rows_catalog(quick: bool):
             ("se3100", [TP, "--genome-mb", "3100", "--reads", str(r),
                         "--batch", "4096", "-t", "4", "--overlap",
                         "--inflight", "6"], "last_float"))
+        rows.append(
+            ("pe3100", [TP, "--genome-mb", "3100", "--reads", str(r),
+                        "--paired", "--batch", "4096", "-t", "4",
+                        "--overlap", "--inflight", "6"], "last_float"))
     # multi-host scaling row (CPU backend: N processes share this box)
     rows.append(("multihost", ["bench/multihost.py", "--reads",
                                "40000" if quick else "80000"],

@@ -280,6 +280,20 @@ def cmd_mem(args) -> int:
             from bwamem_tpu.ops.smem_jax import make_device_seeder
 
             seed_fn = make_device_seeder(po, fm, opt)
+    import time as _time
+
+    t_align0 = _time.time()  # align-loop wall: excludes index load and
+    #                          backend/reference-residency setup
+    # steady-state mark: the first completed chunk absorbs the jit
+    # compiles, so the steady rate is measured from its completion
+    _steady = [None, 0, 0]  # [t_first_done, reads_at_first_done, chunks]
+
+    def _mark_chunk_done(reads_done: int) -> None:
+        _steady[2] += 1
+        if _steady[0] is None:
+            _steady[0] = _time.time()
+            _steady[1] = reads_done
+
     if pair_iter is not None:
         if use_native:
             # full PE chunk in C++: pestat, mate rescue, pairing, sam_pe
@@ -342,6 +356,7 @@ def cmd_mem(args) -> int:
                     n_rec += 1
             if manifest is not None:
                 manifest.mark_done(rr)
+            _mark_chunk_done(n_reads)
             if args.v >= 3:
                 sys.stderr.write(
                     f"[mem] processed {n_reads} reads\n")
@@ -382,9 +397,11 @@ def cmd_mem(args) -> int:
             return pipe_.align_chunk(seqs, raw_t_fn, names=names_,
                                      quals=quals_, cigar_fn=cigar_fn)
 
+        reads_done = 0
+
         def flush_one(futs):
-            nonlocal n_rec
-            rng_, cms, fut = futs.popleft()
+            nonlocal n_rec, reads_done
+            rng_, cms, n_chunk, fut = futs.popleft()
             got = fut.result()
             if not args.C:
                 text, nr_ = got
@@ -398,6 +415,8 @@ def cmd_mem(args) -> int:
                         n_rec += 1
             if manifest is not None:
                 manifest.mark_done(rng_)
+            reads_done += n_chunk
+            _mark_chunk_done(reads_done)
             if args.v >= 3:
                 sys.stderr.write(f"[mem] processed {n_reads} reads\n")
 
@@ -414,7 +433,7 @@ def cmd_mem(args) -> int:
                         continue
                 futs.append((rng_,
                              [r.comment for r in chunk] if args.C
-                             else None,
+                             else None, len(chunk),
                              ex.submit(run_chunk, submitted, chunk)))
                 submitted += 1
                 while len(futs) >= depth:
@@ -449,11 +468,32 @@ def cmd_mem(args) -> int:
                     n_rec += 1
             if manifest is not None:
                 manifest.mark_done(rr)
+            _mark_chunk_done(n_reads)
             if args.v >= 3:
                 sys.stderr.write(f"[mem] processed {n_reads} reads\n")
+    t_end = _time.time()
+    t_align = t_end - t_align0
     if args.v >= 1:
         sys.stderr.write(
             f"[mem] wrote {n_rec} records for {n_reads} reads\n")
+        # machine-readable align-loop rates (startup excluded) — parsed
+        # by bench/multihost.py for honest scaling aggregation.  The
+        # steady rate starts at the FIRST chunk's completion (the jit
+        # compiles land there); runs of one chunk have no steady window
+        # and report the whole-loop rate.
+        rate = n_reads / t_align if t_align > 0 else 0.0
+        sr, sn = rate, n_reads
+        # guard against degenerate windows: with in-flight pipelining a
+        # short run's chunks land in one burst right after the compile,
+        # so a steady figure needs >=3 post-warmup chunks and >=1s
+        if _steady[0] is not None and n_reads > _steady[1] \
+                and _steady[2] >= 4 and t_end - _steady[0] >= 1.0:
+            sn = n_reads - _steady[1]
+            sr = sn / (t_end - _steady[0])
+        sys.stderr.write(
+            f"[mem] align: {n_reads} reads in {t_align:.3f}s = "
+            f"{rate:.1f} reads/s (steady {sr:.1f} reads/s over last "
+            f"{sn} reads)\n")
     if tracer is not None:
         import json as _json
 
