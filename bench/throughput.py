@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--ship-ref", action="store_true",
                     help="ship target windows from the host instead of "
                          "gathering from the device-resident reference")
+    ap.add_argument("--bucket-split", action="store_true",
+                    help="dispatch each fused chunk as two shape "
+                         "buckets (global dims + a percentile-derived "
+                         "smaller shape) — cuts qmax/tmax padding at "
+                         "the cost of a second device call")
     ap.add_argument("--phased", action="store_true",
                     help="use the 4-pass protocol instead of the fused "
                          "whole-alignment kernel")
@@ -204,7 +209,8 @@ def main():
 
                 tracer = Tracer(args.trace)
             pipes = [native_driver.NativePipeline(
-                opt, ref, fm, po, nthreads=args.threads, tracer=tracer)
+                opt, ref, fm, po, nthreads=args.threads, tracer=tracer,
+                bucket_split=args.bucket_split)
                 for _ in range(args.inflight if args.overlap else 1)]
             if args.device_seed:
                 from bwamem_tpu.ops.smem_jax import make_device_seeder

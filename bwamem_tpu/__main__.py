@@ -301,9 +301,9 @@ def cmd_mem(args) -> int:
                                           pac=ref.pac,
                                           ship_ref=args.ship_ref,
                                           text_dev=text_dev)
-            pipe = native_driver.NativePipeline(opt, ref, fm, po,
-                                                nthreads=args.t,
-                                                tracer=tracer)
+            pipe = native_driver.NativePipeline(
+                opt, ref, fm, po, nthreads=args.t, tracer=tracer,
+                bucket_split=args.bucket_split)
             pipe.seed_fn = seed_fn
             if rg_id:
                 pipe.set_rg(rg_id)
@@ -373,9 +373,9 @@ def cmd_mem(args) -> int:
                                       ship_ref=args.ship_ref,
                                       text_dev=text_dev)
         depth = max(args.inflight, 1)
-        pipes = [native_driver.NativePipeline(opt, ref, fm, po,
-                                              nthreads=args.t,
-                                              tracer=tracer)
+        pipes = [native_driver.NativePipeline(
+            opt, ref, fm, po, nthreads=args.t, tracer=tracer,
+            bucket_split=args.bucket_split)
                  for _ in range(depth)]
         for p_ in pipes:
             p_.seed_fn = seed_fn
@@ -602,6 +602,10 @@ def main(argv=None) -> int:
                      help="ship target windows from the host instead "
                           "of gathering from the device-resident "
                           "reference")
+    mem.add_argument("--bucket-split", action="store_true",
+                     help="dispatch each fused chunk as two shape "
+                          "buckets (cuts qmax/tmax padding at the "
+                          "cost of a second device call)")
     mem.add_argument("--device-cigar", action="store_true",
                      help="run reg2aln global realignment (CIGAR "
                           "traceback) on device too (SE paths, python "

@@ -43,7 +43,8 @@ class NativePipeline:
     per-batch entry point."""
 
     def __init__(self, opt: MemOptions, ref: Reference, fm, po,
-                 nthreads: int = 1, blk_l: int = 512, tracer=None):
+                 nthreads: int = 1, blk_l: int = 512, tracer=None,
+                 bucket_split: bool = False):
         lib = native.get_lib()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -52,6 +53,10 @@ class NativePipeline:
         self.ref = ref
         self.nthreads = max(int(nthreads), 1)
         self.blk_l = blk_l
+        self.bucket_split = bucket_split  # two-dispatch qmax/tmax
+        #   bucketing of the fused idx chunk (see _dispatch_fused_idx)
+        self.split_min = None  # min small-bucket lanes to justify the
+        #   second dispatch; None = max(quantum, Bp//8) (tests lower it)
         self.tracer = tracer  # utils.metrics.Tracer (the DSM/perf-counter
         #                       analogue, bwa_mem_sw.v:93-101); None = off
         self.seed_fn = None  # optional reads -> (n,4) int64 seed rows
@@ -238,21 +243,12 @@ class NativePipeline:
                 tl.ctypes.data_as(_PI8), tmax_l, qr.ctypes.data_as(_PI8),
                 qmax_r, tr.ctypes.data_as(_PI8), tmax_r,
                 scal.ctypes.data_as(_P32), Bp)
-        grid = Bp // self.blk_l
-        tmax2 = np.zeros((grid, 2), np.int32)
-        tmax2[:, 0] = np.max(
-            np.where(scal[0].reshape(grid, self.blk_l) > 0,
-                     scal[1].reshape(grid, self.blk_l), 0), axis=1)
-        tmax2[:, 1] = np.max(
-            np.where(scal[5].reshape(grid, self.blk_l) > 0,
-                     scal[6].reshape(grid, self.blk_l), 0), axis=1)
         t0 = time.time()
         if idx_mode:
-            out = np.ascontiguousarray(
-                np.asarray(fused_fn(self._nib_reads(), scal, tmax2,
-                                    (qmax_l, tmax_l, qmax_r, tmax_r))),
-                np.int32)
+            out = self._dispatch_fused_idx(
+                fused_fn, scal, Bp, (qmax_l, tmax_l, qmax_r, tmax_r))
         else:
+            tmax2 = self._fused_tmax2(scal, Bp)
             out = np.ascontiguousarray(
                 np.asarray(fused_fn(ql, tl, qr, tr, scal, tmax2)),
                 np.int32)
@@ -265,6 +261,94 @@ class NativePipeline:
                               Bp=Bp, qmax=max(qmax_l, qmax_r),
                               tmax=max(tmax_l, tmax_r))
         self.lib.mp_fused_done(self.h, out.ctypes.data_as(_P32), Bp)
+
+    def _fused_tmax2(self, scal, Bp):
+        """Per-block row-loop trip bounds [left, right] for the fused
+        kernel's scalar prefetch (lanes arrive sorted by total rows, so
+        blocks are length-homogeneous and short blocks exit early)."""
+        grid = Bp // self.blk_l
+        tmax2 = np.zeros((grid, 2), np.int32)
+        tmax2[:, 0] = np.max(
+            np.where(scal[0].reshape(grid, self.blk_l) > 0,
+                     scal[1].reshape(grid, self.blk_l), 0), axis=1)
+        tmax2[:, 1] = np.max(
+            np.where(scal[5].reshape(grid, self.blk_l) > 0,
+                     scal[6].reshape(grid, self.blk_l), 0), axis=1)
+        return tmax2
+
+    # finer shape ladder for the small-bucket dispatch: the row body's
+    # vector cost scales with qmax (sublanes), so sub-128 buckets are
+    # worth having here even though the global dims ladder starts at 128
+    _SPLIT_BUCKETS = (32, 48, 64, 96, 128, 160, 192, 256, 320, 384,
+                      512, 640, 768, 1024)
+
+    def _dispatch_fused_idx(self, fused_fn, scal, Bp, dims):
+        """Dispatch the resident-reference fused chunk — optionally as
+        TWO kernel calls bucketed by task shape (self.bucket_split).
+
+        One chunk-global (qmax, tmax) pads every lane to the longest
+        task (production traces show qmax=160/tmax=320 while the median
+        lane is far shorter — the row body's vector cost scales with
+        qmax, so short lanes pay for the longest lane's sublanes).  The
+        split puts lanes that fit a percentile-derived smaller shape in
+        a second dispatch with tighter static dims; everything else
+        keeps the global dims.  Results are identical either way (the
+        kernel masks padding), pinned by test_fused_idx_bucket_split.
+        The two calls are dispatched back-to-back before either result
+        is fetched, so device execution overlaps dispatch."""
+        from bwamem_tpu.pipeline.driver import _bucket as _bkt
+
+        blk = self.blk_l
+        q = getattr(fused_fn, "bp_quantum", blk)
+
+        def one(scal_p, dims_p):
+            return fused_fn(self._nib_reads(),
+                            np.ascontiguousarray(scal_p),
+                            self._fused_tmax2(scal_p, scal_p.shape[1]),
+                            dims_p)
+
+        if not self.bucket_split:
+            return np.ascontiguousarray(np.asarray(one(scal, dims)),
+                                        np.int32)
+        valid = (scal[0] > 0) | (scal[5] > 0)
+        dims2 = []
+        for fq, ft in ((0, 1), (5, 6)):
+            for row in (fq, ft):
+                v = scal[row][valid & (scal[row] > 0)]
+                p = int(np.percentile(v, 60)) if v.size else 1
+                dims2.append(_bkt(max(p, 16), self._SPLIT_BUCKETS))
+        dims2 = tuple(dims2)
+        fit = valid & (scal[0] <= dims2[0]) & (scal[1] <= dims2[1]) \
+            & (scal[5] <= dims2[2]) & (scal[6] <= dims2[3])
+        nfit = int(fit.sum())
+        # a tiny bucket is not worth a second tunnel round trip, and
+        # identical dims mean the split would be two copies of one shape
+        thr = self.split_min if self.split_min is not None \
+            else max(q, Bp // 8)
+        if (dims2 == dims or nfit < thr
+                or (valid & ~fit).sum() == 0):
+            return np.ascontiguousarray(np.asarray(one(scal, dims)),
+                                        np.int32)
+        idx_small = np.where(fit)[0]
+        idx_big = np.where(~fit)[0]  # includes padding lanes (no-ops)
+
+        def part(idx):
+            m = len(idx)
+            mp_ = _bkt(max(m, q), (512, 1024, 2048, 4096, 8192, 16384))
+            if mp_ % q:
+                mp_ = -(-mp_ // q) * q
+            S = np.zeros((16, mp_), np.int32)
+            S[:, :m] = scal[:, idx]
+            return S, m
+
+        Sb, nb = part(idx_big)
+        Ss, ns = part(idx_small)
+        rb = one(Sb, dims)       # dispatch both before fetching either
+        rs = one(Ss, dims2)
+        out = np.zeros((32, Bp), np.int32)
+        out[:, idx_big] = np.asarray(rb)[:, :nb]
+        out[:, idx_small] = np.asarray(rs)[:, :ns]
+        return out
 
     def _extend(self, reads, raw_t_fn):
         import time

@@ -519,6 +519,43 @@ def test_text_gather_window_fuzz():
             assert (got == want).all(), (length, sign)
 
 
+def test_fused_idx_bucket_split_sam_identical(world):
+    """The two-dispatch shape-bucketed fused chunk (bucket_split: big
+    lanes at the chunk-global dims, percentile-fitting lanes at a
+    smaller static shape, results scattered back by lane index) is SAM
+    byte-identical to the single-dispatch path — padding must never
+    change kernel results."""
+    opt = MemOptions()
+    ref, fm, po, rng = world
+    # mixed read lengths so the two shape buckets are both non-empty
+    reads, names, quals = make_reads(rng, ref, 16)
+    r2, n2, q2 = make_reads(rng, ref, 16, read_len=60)
+    reads += r2
+    names += [s + "b" for s in n2]
+    quals += q2
+    fn = native_driver.make_fused_idx_backend(
+        _params(opt), ref.pac, blk_l=128, interpret=True)
+    calls = []
+    orig = fn
+
+    def counting(*a, **k):
+        calls.append(a[1].shape)
+        return orig(*a, **k)
+
+    counting.fused = True
+    counting.idx = True
+    counting.bp_quantum = orig.bp_quantum
+    pipe = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128)
+    want = pipe.align_chunk(reads, fn, names=names, quals=quals)
+    pipe2 = native_driver.NativePipeline(opt, ref, fm, po, blk_l=128,
+                                         bucket_split=True)
+    pipe2.split_min = 4
+    got = pipe2.align_chunk(reads, counting, names=names, quals=quals)
+    assert len(calls) == 2, f"split did not fire: {calls}"
+    assert [[r.line() for r in rr] for rr in want] == \
+        [[r.line() for r in rr] for rr in got]
+
+
 def test_fused_idx_pe_sam_identical(world):
     """Resident-reference fused path through the all-C++ PE pipeline
     == the Python PE oracle."""
