@@ -121,14 +121,23 @@ def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
                       jnp.where(query == t_row, a, -b))
 
         in_band = (sidx >= beg) & (sidx < end)
-        M = jnp.where(in_band & (eh_h != 0), eh_h + s, 0)
+        # M needs no in-band mask: Pk masks it for the F scan, H is
+        # re-masked below, and Enew is only written back inside wb
+        # (stale out-of-band eh rows are part of the bwa semantics
+        # either way)
+        M = jnp.where(eh_h != 0, eh_h + s, 0)
         # E needs no in-band mask: out-of-band lanes of H are re-masked
         # below, Enew is only written back inside wb, and the eq_end
         # column is forced to 0 regardless
         E_b = eh_e
 
-        G = jnp.maximum(M - oe_ins, 0)
-        Pk = jnp.where(in_band, G + ej, NEG)
+        # F scan feed WITHOUT bwa's per-element G = max(M-oe, 0) clamp:
+        # max_k(max(M[k]-oe,0)+e*k) = max(max_k(M[k]-oe+e*k), e*(j-1))
+        # over the contiguous in-band prefix, and the second term
+        # cancels against the -e*(j-1) in F exactly — so the clamp
+        # contributes nothing after the subtraction (F has its own
+        # outer max(.,0)).  Saves one (qmax, blk) op per round
+        Pk = jnp.where(in_band, M - oe_ins + ej, NEG)
         S = Pk
         for kk, fm in scan_fills:  # Hillis-Steele prefix max
             S = jnp.maximum(S, jnp.where(fm, NEG, pltpu.roll(S, kk, axis=0)))
@@ -223,10 +232,17 @@ def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
 
         carry = jax.lax.while_loop(cond, body, carry)
     else:
+        # all-rows mode (the timed BENCH config): block 4 rows per
+        # while iteration to cut loop-latch overhead; overshoot rows
+        # past tmax are active-masked no-ops (same mechanism as lanes
+        # shorter than the block tmax)
         def cond(c):
             return c[0] < tmax
 
-        carry = jax.lax.while_loop(cond, row, carry)
+        def body4(c):
+            return jax.lax.fori_loop(0, 4, lambda _, cc: row(cc), c)
+
+        carry = jax.lax.while_loop(cond, body4, carry)
     (_, _, _, _, _, _, best, max_i, max_jv, max_ie, gscore, max_off) = carry
     return best, max_jv, max_i, max_ie, gscore, max_off
 
