@@ -48,6 +48,17 @@ from bwamem_tpu.index.occ_packed import (
 )
 from bwamem_tpu.index.smem_batch import M_CAP, P_CAP
 
+# Device prev-slot width.  The batched rank cost scales with B*P
+# (measured 1495 us/step at P=24 vs 117 us at P=1 for a 300-deep
+# dependent chain, B=2048, 60 Mb index), so a narrower device width
+# looked like a ~3x win — but a P_DEV=8 probe measured 51.5 reads/s
+# end-to-end (vs 94.3 at 24): real reads' forward interval lists
+# routinely exceed 8 distinct sizes, and every overflow falls back to
+# the exact scalar host search.  bwa's 24 is the right width; the
+# device-seeding ceiling analysis lives in bench/README ("Device
+# seeding roofline").
+P_DEV = P_CAP
+
 
 class DeviceOcc:
     """PackedOcc tables resident on the device (HBM)."""
@@ -120,7 +131,7 @@ def _smem1_kernel(occ_rows, pk_rows, va_rows, C, primary, n_rows,
     po = _Shim(occ_rows, pk_rows, va_rows, C, primary, n_rows)
     B, L = q.shape
     bI = jnp.arange(B)
-    iotaP = jnp.arange(P_CAP)
+    iotaP = jnp.arange(P_DEV)
     iotaM = jnp.arange(M_CAP)
 
     at_x = q[bI, jnp.minimum(x, L - 1)]
@@ -131,18 +142,18 @@ def _smem1_kernel(occ_rows, pk_rows, va_rows, C, primary, n_rows,
     cx1 = jnp.where(startable, C[3 - c0], 0)
     cqe = x + 1
 
-    zP = jnp.zeros((B, P_CAP), jnp.int32)
+    zP = jnp.zeros((B, P_DEV), jnp.int32)
     zB = jnp.zeros((B,), jnp.int32)
 
     def fpush(st, mask):
         (f_x0, f_x1, f_s, f_qe, f_n, overflow, cx0, cx1, cs, cqe) = st
-        ok = mask & (f_n < P_CAP)
+        ok = mask & (f_n < P_DEV)
         oh = (iotaP[None, :] == f_n[:, None]) & ok[:, None]
         f_x0 = jnp.where(oh, cx0[:, None], f_x0)
         f_x1 = jnp.where(oh, cx1[:, None], f_x1)
         f_s = jnp.where(oh, cs[:, None], f_s)
         f_qe = jnp.where(oh, cqe[:, None], f_qe)
-        overflow = overflow | (mask & (f_n >= P_CAP))
+        overflow = overflow | (mask & (f_n >= P_DEV))
         f_n = f_n + ok.astype(jnp.int32)
         return (f_x0, f_x1, f_s, f_qe, f_n, overflow, cx0, cx1, cs, cqe)
 
@@ -189,7 +200,7 @@ def _smem1_kernel(occ_rows, pk_rows, va_rows, C, primary, n_rows,
     ret = jnp.where(has, f_qe[bI, last], x + 1)
 
     # prev = reversed fcur (longest first)
-    ridx = jnp.clip(f_n[:, None] - 1 - iotaP[None, :], 0, P_CAP - 1)
+    ridx = jnp.clip(f_n[:, None] - 1 - iotaP[None, :], 0, P_DEV - 1)
     inb = iotaP[None, :] < f_n[:, None]
     p_x0 = jnp.where(inb, jnp.take_along_axis(f_x0, ridx, 1), 0)
     p_x1 = jnp.where(inb, jnp.take_along_axis(f_x1, ridx, 1), 0)
@@ -218,42 +229,59 @@ def _smem1_kernel(occ_rows, pk_rows, va_rows, C, primary, n_rows,
         sel_s = jnp.take_along_axis(
             ns, chc[:, None, None], 2)[..., 0].astype(jnp.int32)
 
-        def slot_body(j, sc):
-            (n_x0, n_x1, n_s, n_qe, n_cnt, last_s, m_qb, m_qe, m_x0,
-             m_x1, m_s, m_n) = sc
-            has_j = live & (j < p_n)
-            s_j = sel_s[bI, j]
-            stop_j = has_j & (~cvalid | (s_j < min_intv))
-            keep_j = has_j & ~stop_j
-            lastm = jnp.maximum(m_n - 1, 0)
-            emit = stop_j & (n_cnt == 0) & (
-                (m_n == 0) | (i + 1 < m_qb[bI, lastm])) & (m_n < M_CAP)
-            ohm = (iotaM[None, :] == m_n[:, None]) & emit[:, None]
-            m_qb = jnp.where(ohm, (i + 1)[:, None], m_qb)
-            m_qe = jnp.where(ohm, p_qe[bI, j][:, None], m_qe)
-            m_x0 = jnp.where(ohm, p_x0[bI, j][:, None], m_x0)
-            m_x1 = jnp.where(ohm, p_x1[bI, j][:, None], m_x1)
-            m_s = jnp.where(ohm, p_s[bI, j][:, None], m_s)
-            m_n = m_n + emit.astype(jnp.int32)
-            push = keep_j & ((n_cnt == 0) | (s_j != last_s))
-            ohp = (iotaP[None, :] == n_cnt[:, None]) & push[:, None]
-            n_x0 = jnp.where(ohp, sel_x0[bI, j][:, None], n_x0)
-            n_x1 = jnp.where(ohp, sel_x1[bI, j][:, None], n_x1)
-            n_s = jnp.where(ohp, s_j[:, None], n_s)
-            n_qe = jnp.where(ohp, p_qe[bI, j][:, None], n_qe)
-            n_cnt = n_cnt + push.astype(jnp.int32)
-            last_s = jnp.where(push, s_j, last_s)
-            return (n_x0, n_x1, n_s, n_qe, n_cnt, last_s, m_qb, m_qe,
-                    m_x0, m_x1, m_s, m_n)
-
-        sc = (zP, zP, zP, zP, zB, jnp.full((B,), -1, jnp.int32),
-              m_qb, m_qe, m_x0, m_x1, m_s, m_n)
-        sc = jax.lax.fori_loop(0, P_CAP, slot_body, sc)
-        (p_x0, p_x1, p_s, p_qe, p_n, _last_s, m_qb, m_qe, m_x0, m_x1,
-         m_s, m_n) = sc
-        back_active = back_active & (p_n > 0)
-        return (p_x0, p_x1, p_s, p_qe, p_n, m_qb, m_qe, m_x0, m_x1, m_s,
-                m_n, back_active)
+        # --- vectorized slot compaction (the former 24-iteration
+        # fori_loop: ~340 dependent vector ops per backward step, the
+        # measured device-seeding wall).  Same semantics, proved by the
+        # smem parity tests:
+        #   keep/stop per slot are independent of the scan state;
+        #   the running last_s always equals the s of the last KEPT
+        #   slot (a kept-but-deduped slot has s == last_s by
+        #   definition), so push_j = keep_j & (s_j != s[prev kept j']);
+        #   at most ONE slot emits per step (the first stop slot before
+        #   any keep: the first emit sets m_qb[last] = i+1, making the
+        #   (i+1 < m_qb[last]) test false for every later candidate,
+        #   and if the first candidate fails the test, all fail it).
+        has = live[:, None] & (iotaP[None, :] < p_n[:, None])
+        min_i = jnp.broadcast_to(jnp.asarray(min_intv), (B,))[:, None]
+        stop = has & (~cvalid[:, None] | (sel_s < min_i))
+        keep = has & ~stop
+        keep_i = keep.astype(jnp.int32)
+        ncum = jnp.cumsum(keep_i, axis=1)          # inclusive kept count
+        # s of the previous kept slot: gather at the index of the last
+        # kept j' < j (clipped; masked below for "no prev kept")
+        kidx = jnp.where(keep, iotaP[None, :], -1)
+        prev_kidx = jax.lax.associative_scan(jnp.maximum, kidx, axis=1)
+        prev_kidx = jnp.concatenate(
+            [jnp.full((B, 1), -1, jnp.int32), prev_kidx[:, :-1]], axis=1)
+        prev_s = jnp.take_along_axis(
+            sel_s, jnp.maximum(prev_kidx, 0), axis=1)
+        push = keep & ((prev_kidx < 0) | (sel_s != prev_s))
+        # compact pushes in slot order via a stable sort of their j's
+        key = jnp.where(push, iotaP[None, :], P_DEV)
+        order = jnp.argsort(key, axis=1)
+        n_cnt = jnp.sum(push.astype(jnp.int32), axis=1)
+        inb_n = iotaP[None, :] < n_cnt[:, None]
+        gat = lambda a: jnp.where(
+            inb_n, jnp.take_along_axis(a, order, axis=1), 0)
+        n_x0, n_x1, n_s = gat(sel_x0), gat(sel_x1), gat(sel_s)
+        n_qe = gat(p_qe)
+        # the single emitted SMEM: first stop slot with no keep before
+        cand = stop & (ncum - keep_i == 0)
+        any_cand = jnp.any(cand, axis=1)
+        first_j = jnp.argmax(cand, axis=1)
+        lastm = jnp.maximum(m_n - 1, 0)
+        emit = any_cand & ((m_n == 0) | (i + 1 < m_qb[bI, lastm])) & (
+            m_n < M_CAP)
+        ohm = (iotaM[None, :] == m_n[:, None]) & emit[:, None]
+        m_qb = jnp.where(ohm, (i + 1)[:, None], m_qb)
+        m_qe = jnp.where(ohm, p_qe[bI, first_j][:, None], m_qe)
+        m_x0 = jnp.where(ohm, p_x0[bI, first_j][:, None], m_x0)
+        m_x1 = jnp.where(ohm, p_x1[bI, first_j][:, None], m_x1)
+        m_s = jnp.where(ohm, p_s[bI, first_j][:, None], m_s)
+        m_n = m_n + emit.astype(jnp.int32)
+        back_active = back_active & (n_cnt > 0)
+        return (n_x0, n_x1, n_s, n_qe, n_cnt, m_qb, m_qe, m_x0, m_x1,
+                m_s, m_n, back_active)
 
     c = (p_x0, p_x1, p_s, p_qe, p_n, m_qb, m_qe, m_x0, m_x1, m_s, m_n,
          back_active)
@@ -402,7 +430,10 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
             [o_ret[:, None].astype(dt), o_ovf[:, None].astype(dt),
              o_n[:, None].astype(dt), o_qb.astype(dt), o_qe.astype(dt),
              o_x0.astype(dt), o_x1.astype(dt), o_s.astype(dt)], axis=1))
-        ret, overflow, m_n = packed[:, 0], packed[:, 1], packed[:, 2]
+        # ret is written by the overflow fallback below; np.asarray of
+        # a jax array is a read-only zero-copy view, so copy it
+        ret, overflow, m_n = packed[:, 0].copy(), packed[:, 1], \
+            packed[:, 2]
         m_qb = packed[:, 3:3 + K]
         m_qe = packed[:, 3 + K:3 + 2 * K]
         m_x0 = packed[:, 3 + 2 * K:3 + 3 * K]
