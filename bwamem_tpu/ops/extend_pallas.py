@@ -71,7 +71,8 @@ def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
     sidx32 = jax.lax.broadcasted_iota(jnp.int32, (qmax, blk_l), 0)
     sidx = sidx32.astype(dt)
     query_isN = query > 3
-    ej = (e_ins * sidx).astype(dt)
+    # -oe_ins folded into the ramp: Pk = M + ej_oe is one add, not two
+    ej_oe = (e_ins * sidx - oe_ins).astype(dt)
     ejm1 = (e_ins * (sidx - 1)).astype(dt)
     # loop-invariant fill masks for the sublane shifts: the row body
     # pays roll+select only, not the sidx<k compare (x ~200 rows)
@@ -137,7 +138,7 @@ def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
         # cancels against the -e*(j-1) in F exactly — so the clamp
         # contributes nothing after the subtraction (F has its own
         # outer max(.,0)).  Saves one (qmax, blk) op per round
-        Pk = jnp.where(in_band, M - oe_ins + ej, NEG)
+        Pk = jnp.where(in_band, M + ej_oe, NEG)
         S = Pk
         for kk, fm in scan_fills:  # Hillis-Steele prefix max
             S = jnp.maximum(S, jnp.where(fm, NEG, pltpu.roll(S, kk, axis=0)))
@@ -196,6 +197,10 @@ def _band_pass(target_ref, query, qlen, tlen, aw, h0, prm_ref, *, qmax,
         done = jnp.maximum(
             done, (break_zero | break_z | (iv + 1 >= tlen)).astype(jnp.int32))
 
+        # note: dropping the left-edge zero-run trim (first_nz) is
+        # semantically safe — trimmed cells are 0/0 and stay 0/0 under
+        # the recurrence — but measured SLOWER (43.5-44.0 vs 44.6
+        # GCUPS), so bwa's two-sided trim stays
         scan = in_band & ((new_eh_h != 0) | (new_eh_e != 0))
         first_nz = rmin0(jnp.where(scan, sidx, BIG))
         new_beg = jnp.minimum(first_nz, end)
