@@ -194,7 +194,16 @@ def main():
         }
         log(f"  [row] best={best} stable={stable}")
     out = os.path.join(args.outdir, "ladder.json")
-    json.dump(results, open(out, "w"), indent=1)
+    # merge into any existing ladder.json so a --rows subset run never
+    # clobbers rows captured by an earlier invocation in this outdir
+    merged = {}
+    if os.path.exists(out):
+        try:
+            merged = json.load(open(out))
+        except ValueError:
+            pass
+    merged.update(results)
+    json.dump(merged, open(out, "w"), indent=1)
     log(f"ladder done -> {out}")
     return 0
 
