@@ -112,7 +112,22 @@ def main():
                  sa_intv=fm.sa_intv, ssa=fm.ssa, pac=fm.pac)
         how = "built"
     t_index = time.time() - t0
-    po = pack_occ(fm)
+    # the occ pack is ~7 min at GRCh38 scale — cache it beside the index
+    occ_cache = f"/tmp/bwamem_bench_occ_{n_bp}.npz"
+    if os.path.exists(occ_cache):
+        from bwamem_tpu.index.occ_packed import PackedOcc
+
+        z = np.load(occ_cache, allow_pickle=False)
+        po = PackedOcc(occ_rows=z["occ_rows"], pk_rows=z["pk_rows"],
+                       va_rows=z["va_rows"], C=z["C"],
+                       primary=int(z["primary"]), n_rows=int(z["n_rows"]))
+    else:
+        po = pack_occ(fm)
+        tmp = occ_cache + ".part.npz"
+        np.savez(tmp, occ_rows=po.occ_rows, pk_rows=po.pk_rows,
+                 va_rows=po.va_rows, C=po.C, primary=po.primary,
+                 n_rows=po.n_rows)
+        os.replace(tmp, occ_cache)
     print(f"[index] {t_index:.1f}s ({how})", file=sys.stderr)
 
     # vectorized read simulation (the Python per-read loop dominates
