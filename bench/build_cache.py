@@ -22,12 +22,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-mb", type=float, default=3100)
     args = ap.parse_args()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import cachefmt
     from bwamem_tpu.index.build import build_index
 
     n_bp = int(args.genome_mb * 1e6)
-    cache = f"/tmp/bwamem_bench_idx_{n_bp}.npz"
-    if os.path.exists(cache):
-        print(f"[cache] already exists: {cache}", file=sys.stderr)
+    # load_idx validates version + readability, not just existence —
+    # a truncated npz from a killed build triggers a rebuild here
+    # instead of crashing a timed ladder row later
+    if cachefmt.load_idx(n_bp) is not None:
+        print(f"[cache] already exists and loads: "
+              f"{cachefmt.idx_path(n_bp)}", file=sys.stderr)
         return 0
     rng = np.random.default_rng(0)
     pac = rng.integers(0, 4, n_bp).astype(np.uint8)
@@ -37,11 +42,7 @@ def main():
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"[index] built {n_bp/1e6:.0f} Mb in {dt:.0f}s, "
           f"peak rss {rss:.1f} GB", file=sys.stderr)
-    tmp = cache + ".part.npz"
-    np.savez(tmp, l_pac=fm.l_pac, seq_len2=fm.seq_len2,
-             primary=fm.primary, C=fm.C, bwt=fm.bwt, occ_cp=fm.occ_cp,
-             sa_intv=fm.sa_intv, ssa=fm.ssa, pac=fm.pac)
-    os.replace(tmp, cache)
+    cache = cachefmt.save_idx(n_bp, fm)
     print(f"[cache] wrote {cache} "
           f"({os.path.getsize(cache)/1e9:.2f} GB)", file=sys.stderr)
     return 0

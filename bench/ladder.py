@@ -135,6 +135,8 @@ def main():
                     help="comma-separated row names (default: all)")
     ap.add_argument("--quick", action="store_true",
                     help="smaller read counts (shape check, not BENCH)")
+    ap.add_argument("--tries", type=int, default=MAX_TRIES,
+                    help="max runs per row before flagging unstable")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
     logf = open(os.path.join(args.outdir, "ladder.log"), "a")
@@ -155,7 +157,7 @@ def main():
         log(f"=== {name}: {' '.join(cmd)}")
         idle = wait_idle(log)
         vals, raw = [], []
-        for attempt in range(MAX_TRIES):
+        for attempt in range(args.tries):
             t0 = time.time()
             r = subprocess.run([sys.executable, *cmd], cwd=REPO, env=env,
                                capture_output=True, text=True,
@@ -199,11 +201,15 @@ def main():
     merged = {}
     if os.path.exists(out):
         try:
-            merged = json.load(open(out))
+            prev = json.load(open(out))
+            if isinstance(prev, dict):
+                merged = prev
         except ValueError:
             pass
     merged.update(results)
-    json.dump(merged, open(out, "w"), indent=1)
+    # atomic replace: a crash mid-write must not destroy captured rows
+    json.dump(merged, open(out + ".part", "w"), indent=1)
+    os.replace(out + ".part", out)
     log(f"ladder done -> {out}")
     return 0
 

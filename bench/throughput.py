@@ -92,13 +92,19 @@ def main():
 
     # cache the simulated-genome index across bench invocations (the
     # build is deterministic in n_bp; a 60 Mb rebuild costs 40-80 s per
-    # config sweep point otherwise)
-    cache = f"/tmp/bwamem_bench_idx_{n_bp}.npz"
+    # config sweep point otherwise).  Caches are format-versioned and
+    # written atomically (bench/cachefmt.py) so a layout change or a
+    # crashed build can never feed a stale/truncated index to a run.
+    # bench.py at the repo root shadows the bench/ dir for `import
+    # bench.*`; load the sibling helper by directory instead
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import cachefmt
+
     t0 = time.time()
-    if os.path.exists(cache):
+    z = cachefmt.load_idx(n_bp)
+    if z is not None:
         from bwamem_tpu.index.build import FMIndex
 
-        z = np.load(cache, allow_pickle=False)
         fm = FMIndex(
             l_pac=int(z["l_pac"]), seq_len2=int(z["seq_len2"]),
             primary=int(z["primary"]), C=z["C"], bwt=z["bwt"],
@@ -107,27 +113,20 @@ def main():
         how = "cached"
     else:
         fm = build_index(pac)
-        np.savez(cache, l_pac=fm.l_pac, seq_len2=fm.seq_len2,
-                 primary=fm.primary, C=fm.C, bwt=fm.bwt, occ_cp=fm.occ_cp,
-                 sa_intv=fm.sa_intv, ssa=fm.ssa, pac=fm.pac)
+        cachefmt.save_idx(n_bp, fm)
         how = "built"
     t_index = time.time() - t0
     # the occ pack is ~7 min at GRCh38 scale — cache it beside the index
-    occ_cache = f"/tmp/bwamem_bench_occ_{n_bp}.npz"
-    if os.path.exists(occ_cache):
+    z = cachefmt.load_occ(n_bp)
+    if z is not None:
         from bwamem_tpu.index.occ_packed import PackedOcc
 
-        z = np.load(occ_cache, allow_pickle=False)
         po = PackedOcc(occ_rows=z["occ_rows"], pk_rows=z["pk_rows"],
                        va_rows=z["va_rows"], C=z["C"],
                        primary=int(z["primary"]), n_rows=int(z["n_rows"]))
     else:
         po = pack_occ(fm)
-        tmp = occ_cache + ".part.npz"
-        np.savez(tmp, occ_rows=po.occ_rows, pk_rows=po.pk_rows,
-                 va_rows=po.va_rows, C=po.C, primary=po.primary,
-                 n_rows=po.n_rows)
-        os.replace(tmp, occ_cache)
+        cachefmt.save_occ(n_bp, po)
     print(f"[index] {t_index:.1f}s ({how})", file=sys.stderr)
 
     # vectorized read simulation (the Python per-read loop dominates

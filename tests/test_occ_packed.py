@@ -107,3 +107,62 @@ def test_device_rank_and_extend_match_numpy(world):
     wx0, wx1, ws = extend_backward4(po, x0, x0, s)
     np.testing.assert_array_equal(np.asarray(nx0), wx0)
     np.testing.assert_array_equal(np.asarray(ns), ws)
+
+
+def test_cache_roundtrip_bit_identical(world, tmp_path, monkeypatch):
+    """The /tmp bench caches (bench/cachefmt.py) must round-trip both the
+    FMIndex and PackedOcc with exact dtypes and values — dtype drift on
+    occ_rows/pk_rows/C would silently corrupt GRCh38-scale ladder rows
+    that start from a cache instead of a fresh build (ADVICE round 4)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "cachefmt", os.path.join(os.path.dirname(__file__), os.pardir,
+                                 "bench", "cachefmt.py"))
+    cachefmt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cachefmt)
+    from bwamem_tpu.index.build import FMIndex
+    from bwamem_tpu.index.occ_packed import PackedOcc
+
+    fm, po = world
+    monkeypatch.setattr(cachefmt, "idx_path",
+                        lambda n: str(tmp_path / f"idx_{n}.npz"))
+    monkeypatch.setattr(cachefmt, "occ_path",
+                        lambda n: str(tmp_path / f"occ_{n}.npz"))
+    n_bp = 3000
+    cachefmt.save_idx(n_bp, fm)
+    cachefmt.save_occ(n_bp, po)
+
+    z = cachefmt.load_idx(n_bp)
+    assert z is not None
+    fm2 = FMIndex(l_pac=int(z["l_pac"]), seq_len2=int(z["seq_len2"]),
+                  primary=int(z["primary"]), C=z["C"], bwt=z["bwt"],
+                  occ_cp=z["occ_cp"], sa_intv=int(z["sa_intv"]),
+                  ssa=z["ssa"], pac=z["pac"])
+    for f in ("C", "bwt", "occ_cp", "ssa", "pac"):
+        a, b = getattr(fm, f), getattr(fm2, f)
+        assert a.dtype == b.dtype, f"idx {f} dtype drift: {a.dtype}->{b.dtype}"
+        np.testing.assert_array_equal(a, b)
+    for f in ("l_pac", "seq_len2", "primary", "sa_intv"):
+        assert getattr(fm, f) == getattr(fm2, f)
+
+    z = cachefmt.load_occ(n_bp)
+    assert z is not None
+    po2 = PackedOcc(occ_rows=z["occ_rows"], pk_rows=z["pk_rows"],
+                    va_rows=z["va_rows"], C=z["C"],
+                    primary=int(z["primary"]), n_rows=int(z["n_rows"]))
+    for f in ("occ_rows", "pk_rows", "va_rows", "C"):
+        a, b = getattr(po, f), getattr(po2, f)
+        assert a.dtype == b.dtype, f"occ {f} dtype drift: {a.dtype}->{b.dtype}"
+        np.testing.assert_array_equal(a, b)
+    assert po.primary == po2.primary and po.n_rows == po2.n_rows
+
+    # a wrong format version must force a rebuild, not a silent reuse
+    monkeypatch.setattr(cachefmt, "OCC_FMT", cachefmt.OCC_FMT + 1)
+    assert cachefmt.load_occ(n_bp) is None
+    # a truncated file must fail closed too
+    p = cachefmt.occ_path(n_bp)
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[: len(raw) // 2])
+    monkeypatch.setattr(cachefmt, "OCC_FMT", cachefmt.OCC_FMT - 1)
+    assert cachefmt.load_occ(n_bp) is None
