@@ -1,0 +1,109 @@
+"""Table-SHARDED device seeding (ops/smem_sharded.py): the occ/SA
+tables split by block range over an 8-device mesh, FM coordinates wide
+(two int32 words) — seeds must be byte-identical (values AND order) to
+the replicated single-device seeder's, which is itself pinned to the
+C++ host engine (tests/test_device_seed.py).  Also pins the >2^31
+routing with a small table logically placed at a 2^32-row block
+origin — GRCh38-scale addressing without gigabytes of test data.
+
+Runs in a subprocess so the 8-device virtual CPU platform is
+configured before any backend initialization (same harness as
+tests/test_dist.py)."""
+
+import os
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, jax.devices()
+
+from bwamem_tpu.config import MemOptions
+from bwamem_tpu.index.build import build_index
+from bwamem_tpu.index.occ_packed import pack_occ, rank4, sa_value_batch
+from bwamem_tpu.ops.smem_jax import make_device_seeder
+from bwamem_tpu.ops.smem_sharded import (
+    ShardedSeedTables, join64, make_sharded_rank4,
+    make_table_sharded_seeder, split64)
+from bwamem_tpu.parallel.dist import make_mesh, make_sharded_device_seeder
+from bwamem_tpu.pipeline.align import revcomp_read
+
+rng = np.random.default_rng(1234)
+pac = rng.integers(0, 4, 60000).astype(np.uint8)
+pac[40000:40900] = pac[1000:1900]     # a repeat: split re-seed rounds
+fm = build_index(pac)
+po = pack_occ(fm)
+mesh = make_mesh()
+
+# 0) wide split/join round-trips across the int32 boundary
+v = np.array([0, 1, (1 << 30) - 1, 1 << 30, (1 << 31) + 7,
+              (1 << 35) + 12345], np.int64)
+assert np.array_equal(join64(*split64(v)), v)
+
+# 1) sharded rank4 == host rank4 (psum-routed gathers)
+tabs = ShardedSeedTables(po, fm.ssa, fm.sa_intv, 8)
+r4 = make_sharded_rank4(mesh, tabs)
+rows = rng.integers(0, po.n_rows + 1, 999).astype(np.int64)
+want = rank4(po, rows)
+np.testing.assert_array_equal(r4(rows), want)
+print("rank4 sharded ok")
+
+# 2) >2^31 routing: same table logically placed at block origin 2^26
+#    (row offset 2^32) — wide block math must route to the same shards
+origin = 1 << 26
+tabs2 = ShardedSeedTables(po, fm.ssa, fm.sa_intv, 8, blk_origin=origin)
+r4o = make_sharded_rank4(mesh, tabs2)
+np.testing.assert_array_equal(r4o(rows + (origin << 6)), want)
+print("rank4 @ >2^31 origin ok")
+
+# 3) full seeder parity vs the single-device (replicated) seeder:
+#    values AND order, through SMEM splits and SA walks
+opt = MemOptions()
+reads = []
+for i in range(24):
+    pos = int(rng.integers(0, fm.l_pac - 105))
+    if i < 6:                       # reads on the repeat: low-occ splits
+        pos = 40000 + int(rng.integers(0, 800))
+    r = fm.pac[pos:pos + 100].astype(np.int64).copy()
+    for _ in range(int(rng.integers(0, 5))):
+        r[int(rng.integers(0, 100))] = int(rng.integers(0, 5))
+    if rng.random() < 0.4:
+        r = revcomp_read(r)
+    reads.append(r)
+want_rows = make_device_seeder(po, fm, opt)(reads)
+got_rows = make_table_sharded_seeder(mesh, po, fm, opt)(reads)
+np.testing.assert_array_equal(got_rows, want_rows)
+assert len(want_rows) > 0
+print(f"seeder parity ok ({len(want_rows)} seed rows)")
+
+# 4) the dist entry point routes to the table-sharded path when forced
+#    (and automatically at n_rows >= 2^31, untestable at test scale)
+got2 = make_sharded_device_seeder(mesh, po, fm, opt,
+                                  table_sharded=True)(reads)
+np.testing.assert_array_equal(got2, want_rows)
+print("dist routing ok")
+
+# 5) constructor guards: non-power-of-two sa_intv fails loudly
+try:
+    ShardedSeedTables(po, fm.ssa, 24, 8)
+except ValueError:
+    pass
+else:
+    raise AssertionError("expected ValueError for sa_intv=24")
+print("ALL OK")
+"""
+
+
+def test_table_sharded_seeder_8dev_cpu_mesh():
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = os.pathsep.join(sys.path)
+    r = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
+                       capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stdout + "\n" + r.stderr
+    assert "ALL OK" in r.stdout
