@@ -97,21 +97,13 @@ def _popcount32(x):
     return (x * 0x01010101) >> 24
 
 
-def rank4(po: PackedOcc, i, xp=np):
-    """Counts of each character 0..3 in bwt[0:i) for a batch of positions.
-
-    i: integer array of any shape (values in [0, n_rows]); returns
-    (..., 4) int32.  xp = numpy or jax.numpy — the expressions are
-    identical in both.
-    """
-    i = xp.asarray(i)
-    blk = i // OCC_BLOCK
-    r = i - blk * OCC_BLOCK                       # 0..63
-    base = xp.asarray(po.occ_rows)[blk]           # (..., 4)
-    words = xp.asarray(po.pk_rows)[blk]           # (..., 4) uint32
-    vals = xp.asarray(po.va_rows)[blk]            # (..., 4) uint32
-    # prefix mask per word: low 2*nsym bits, nsym = clamp(r - 16*w, 0, 16)
-    wi = xp.arange(BLOCK_WORDS, dtype=i.dtype)
+def block_counts(words, vals, r, xp=np):
+    """Per-symbol counts of the first r (0..64) symbols of one Occ
+    block.  words/vals: (..., 4) uint32 packed lanes; r: (...,) int.
+    Returns (..., 4) int32 counts WITHIN the block (no checkpoint
+    added).  Shared by the host/device rank4 below and by the
+    table-sharded rank path (ops/smem_sharded.py)."""
+    wi = xp.arange(BLOCK_WORDS, dtype=r.dtype)
     nsym = xp.clip(r[..., None] - WORD_SYMS * wi, 0, WORD_SYMS)
     full = nsym >= WORD_SYMS
     pmask = xp.where(
@@ -125,7 +117,23 @@ def rank4(po: PackedOcc, i, xp=np):
         q = (~t) & ((~t) >> 1) & xp.uint32(0x55555555)
         q = q & vals & pmask
         counts.append(_popcount32(q).sum(axis=-1))
-    return xp.stack(counts, axis=-1).astype(xp.int32) + base
+    return xp.stack(counts, axis=-1).astype(xp.int32)
+
+
+def rank4(po: PackedOcc, i, xp=np):
+    """Counts of each character 0..3 in bwt[0:i) for a batch of positions.
+
+    i: integer array of any shape (values in [0, n_rows]); returns
+    (..., 4) int32.  xp = numpy or jax.numpy — the expressions are
+    identical in both.
+    """
+    i = xp.asarray(i)
+    blk = i // OCC_BLOCK
+    r = i - blk * OCC_BLOCK                       # 0..63
+    base = xp.asarray(po.occ_rows)[blk]           # (..., 4)
+    words = xp.asarray(po.pk_rows)[blk]           # (..., 4) uint32
+    vals = xp.asarray(po.va_rows)[blk]            # (..., 4) uint32
+    return block_counts(words, vals, r, xp) + base
 
 
 def extend_backward4(po: PackedOcc, x0, x1, s, xp=np):

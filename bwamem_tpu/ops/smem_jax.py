@@ -25,9 +25,13 @@ SMEM search AND the SA-materialization walks on device, emitting seed
 rows byte-identical to the C++ engine's (tests/test_device_seed.py)
 into mp_chunk_start_seeded.
 
-Limit: positions are int32 on device (jax x64 stays off), so the
-device path covers two-strand texts < 2^31 symbols (~1 Gb genomes);
-the host paths have no such limit.
+Limit: positions are int32 on device (jax x64 stays off), so THIS
+replicated path covers two-strand texts < 2^31 symbols (~1 Gb
+genomes); the host paths have no such limit.  For larger texts
+(GRCh38's 6.2 Gsym) the TABLE-SHARDED twin (ops/smem_sharded.py,
+routed automatically by parallel/dist.make_sharded_device_seeder)
+carries coordinates as two int32 words and shards the occ/SA tables
+by block range over the mesh — no cap, 1/N index per chip.
 """
 
 from __future__ import annotations
@@ -419,26 +423,35 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
         out = dev(qd, qlen_d, jnp.asarray(xs_eff),
                   jnp.asarray(mis.astype(np.int32)))
         o_ret, o_ovf, o_qb, o_qe, o_x0, o_x1, o_s, o_n = out
-        K = o_qb.shape[1]
-        # pack in the WIDEST output dtype: a future 64-bit kernel twin
-        # (>2^31-symbol texts) must fail loudly or widen, never
-        # silently truncate through an int32 astype (ADVICE round 2)
-        dt = o_qb.dtype
-        for o in (o_x0, o_x1, o_s, o_ret):
-            dt = jnp.promote_types(dt, o.dtype)
-        packed = np.asarray(jnp.concatenate(
-            [o_ret[:, None].astype(dt), o_ovf[:, None].astype(dt),
-             o_n[:, None].astype(dt), o_qb.astype(dt), o_qe.astype(dt),
-             o_x0.astype(dt), o_x1.astype(dt), o_s.astype(dt)], axis=1))
-        # ret is written by the overflow fallback below; np.asarray of
-        # a jax array is a read-only zero-copy view, so copy it
-        ret, overflow, m_n = packed[:, 0].copy(), packed[:, 1], \
-            packed[:, 2]
-        m_qb = packed[:, 3:3 + K]
-        m_qe = packed[:, 3 + K:3 + 2 * K]
-        m_x0 = packed[:, 3 + 2 * K:3 + 3 * K]
-        m_x1 = packed[:, 3 + 3 * K:3 + 4 * K]
-        m_s = packed[:, 3 + 4 * K:3 + 5 * K]
+        if isinstance(o_ret, np.ndarray):
+            # a host-fetching twin (the table-sharded wide seeder,
+            # ops/smem_sharded.py) already packed/joined on its side:
+            # its int64 coordinates must NOT round-trip through jnp
+            # (x64 is off — jnp would silently truncate to int32)
+            ret, overflow, m_n = o_ret, o_ovf, o_n
+            m_qb, m_qe, m_x0, m_x1, m_s = o_qb, o_qe, o_x0, o_x1, o_s
+        else:
+            K = o_qb.shape[1]
+            # pack in the WIDEST output dtype: a future 64-bit kernel
+            # twin (>2^31-symbol texts) must fail loudly or widen, never
+            # silently truncate through an int32 astype (ADVICE round 2)
+            dt = o_qb.dtype
+            for o in (o_x0, o_x1, o_s, o_ret):
+                dt = jnp.promote_types(dt, o.dtype)
+            packed = np.asarray(jnp.concatenate(
+                [o_ret[:, None].astype(dt), o_ovf[:, None].astype(dt),
+                 o_n[:, None].astype(dt), o_qb.astype(dt),
+                 o_qe.astype(dt), o_x0.astype(dt), o_x1.astype(dt),
+                 o_s.astype(dt)], axis=1))
+            # ret is written by the overflow fallback below; np.asarray
+            # of a jax array is a read-only zero-copy view, so copy it
+            ret, overflow, m_n = packed[:, 0].copy(), packed[:, 1], \
+                packed[:, 2]
+            m_qb = packed[:, 3:3 + K]
+            m_qe = packed[:, 3 + K:3 + 2 * K]
+            m_x0 = packed[:, 3 + 2 * K:3 + 3 * K]
+            m_x1 = packed[:, 3 + 3 * K:3 + 4 * K]
+            m_s = packed[:, 3 + 4 * K:3 + 5 * K]
         per_read = []
         for b in range(B):
             if not mask[b]:
@@ -645,9 +658,16 @@ def collect_seeds_device(d: DeviceOcc, fm, reads, min_seed_len: int,
         return np.zeros((0, 4), np.int64)
     n = len(rows)
     cap = 1 << max(8, (n - 1).bit_length())  # shape-bucketed: rare re-jits
-    padded = np.zeros(cap, np.int32)
-    padded[:n] = np.asarray(rows, np.int64).astype(np.int32)
-    vals = np.asarray(sa_fn(jnp.asarray(padded)))[:n]
+    if getattr(sa_fn, "wide", False):
+        # table-sharded wide twin (ops/smem_sharded.py): rows stay
+        # int64 on the host; the twin splits them into (hi, lo) words
+        padded = np.zeros(cap, np.int64)
+        padded[:n] = np.asarray(rows, np.int64)
+        vals = np.asarray(sa_fn(padded))[:n]
+    else:
+        padded = np.zeros(cap, np.int32)
+        padded[:n] = np.asarray(rows, np.int64).astype(np.int32)
+        vals = np.asarray(sa_fn(jnp.asarray(padded)))[:n]
     out = np.empty((n, 4), np.int64)
     out[:, 0] = [t[0] for t in meta]
     out[:, 1] = vals

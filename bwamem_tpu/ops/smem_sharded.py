@@ -1,0 +1,617 @@
+"""Table-SHARDED device seeding: the FM-index rank/SA tables split by
+block range across a `jax.sharding.Mesh`, with global FM coordinates
+carried as two int32 words — so GRCh38-scale two-strand texts
+(6.2 Gsym ≥ 2^31 rows) become device-addressable AND each chip holds
+only 1/N of the index (BASELINE config #4: "FM-index sharded across
+1 host, 8 chips"; SURVEY.md §7 step 6's "chr-sharded if needed").
+
+Layout
+------
+occ_rows/pk_rows/va_rows shard by contiguous 64-symbol-block ranges
+over the mesh axis (shard k owns global blocks [k·nb_loc, (k+1)·nb_loc));
+the sampled SA shards by index range the same way.  C (6 values), the
+primary row, and the read batch replicate.
+
+Routing (the masked-psum step of VERDICT r4 ask #5)
+---------------------------------------------------
+Every rank/SA gather is answered by exactly one shard: each shard
+computes the query's local block index, masks out rows it does not
+own, gathers from its local slice, and a `lax.psum` over the mesh
+axis combines the partial answers (non-owners contribute zeros).  The
+SMEM/SA state machines then run replicated on every shard — the state
+is bit-identical everywhere after each psum, so the whole
+`bwt_smem1`/`bwt_sa` control flow needs no further communication.
+This trades replicated (cheap) control-flow FLOPs for N×-smaller
+per-chip table memory — the table memory is what does not fit at
+GRCh38 scale (19 GB packed occ + SA per chip if replicated).
+
+Wide coordinates
+----------------
+Positions device-side are pairs (hi, lo) with value = hi·2^30 + lo,
+lo ∈ [0, 2^30): every arithmetic step here is wide ± int32 (interval
+widths, rank counts and per-symbol totals all stay < 2^31 — enforced
+by index/occ_packed.pack_occ), so a single carry normalization keeps
+the pair exact.  Covered range: n_rows < 2^37 (block indices fit
+int32) and n_rows/sa_intv < 2^31 (sampled-SA indices fit int32) —
+both >20× GRCh38.  The host twin of every expression is
+index/occ_packed.py (rank4 / sa_value_batch) and
+index/smem_batch.smem1_batch; parity is pinned by
+tests/test_smem_sharded.py (seeds byte-identical, values AND order).
+
+Reference analogue: the reference replicates the genome per PE-array
+workspace (batch_manager.v:397-562 round-robins over four private
+copies); at human-genome scale the TPU build shards instead — the
+FPGA never holds the index at all (seeding is host-side, SURVEY §0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from bwamem_tpu.index.occ_packed import (
+    OCC_BLOCK,
+    WORD_SYMS,
+    PackedOcc,
+    block_counts,
+)
+
+W = 30                      # bits in the low word
+HALF = 1 << W
+_BLK_SHIFT = W - 6          # HALF // OCC_BLOCK == 1 << 24
+
+
+# ---------------------------------------------------------------------
+# wide (hi, lo) int32 arithmetic — value = hi * 2^30 + lo, 0 <= lo < 2^30
+# ---------------------------------------------------------------------
+
+def split64(a):
+    """Host: int64 array/scalar -> (hi, lo) int32 pair."""
+    a = np.asarray(a, np.int64)
+    hi = (a >> W).astype(np.int32)
+    lo = (a & (HALF - 1)).astype(np.int32)
+    return hi, lo
+
+
+def join64(hi, lo):
+    """Host: (hi, lo) int32 -> int64."""
+    return (np.asarray(hi, np.int64) << W) + np.asarray(lo, np.int64)
+
+
+def wadd(hi, lo, d):
+    """(hi, lo) + d for int32 d (any magnitude).  d is split first so
+    the low-word sum never exceeds int32 range."""
+    dh = d >> W
+    dl = d - (dh << W)          # in [0, 2^30)
+    lo2 = lo + dl               # < 2^31: safe
+    c = lo2 >> W                # 0 or 1
+    return hi + dh + c, lo2 - (c << W)
+
+
+def waddw(h1, l1, h2, l2):
+    """(h1, l1) + (h2, l2): both los < 2^30 so the sum is int32-safe."""
+    lo = l1 + l2
+    c = lo >> W
+    return h1 + h2 + c, lo - (c << W)
+
+
+def wlt(ah, al, bh, bl):
+    return (ah < bh) | ((ah == bh) & (al < bl))
+
+
+def wle(ah, al, bh, bl):
+    return (ah < bh) | ((ah == bh) & (al <= bl))
+
+
+def weq(ah, al, bh, bl):
+    return (ah == bh) & (al == bl)
+
+
+# ---------------------------------------------------------------------
+# host-side sharded table container
+# ---------------------------------------------------------------------
+
+class ShardedSeedTables:
+    """Pads + splits the PackedOcc / sampled-SA tables for an n-way
+    block-range sharding and precomputes the wide constants.  Pure
+    host-side numpy; the arrays are fed to shard_map with P(axis)
+    in_specs (XLA device_puts each shard's slice once per executable).
+
+    blk_origin: global block index of local block 0 — production is 0;
+    tests place a small table at a >=2^31-row origin to prove the wide
+    routing without gigabytes of data."""
+
+    def __init__(self, po: PackedOcc, ssa, sa_intv: int, n_dev: int,
+                 blk_origin: int = 0):
+        nbp1 = po.occ_rows.shape[0]
+        if int(po.n_rows) >> 6 >= 1 << 31:
+            raise ValueError("text too large: block indices exceed int32"
+                             " (n_rows >= 2^37)")
+        if sa_intv & (sa_intv - 1):
+            raise ValueError(f"sharded SA needs power-of-two sa_intv, "
+                             f"got {sa_intv}")
+        if int(po.n_rows) // sa_intv >= 1 << 31:
+            raise ValueError("sampled-SA index exceeds int32")
+        self.nb_loc = -(-nbp1 // n_dev)
+        tgt = self.nb_loc * n_dev     # occ has NB+1 rows, pk/va have NB
+        self.occ = np.pad(po.occ_rows, ((0, tgt - po.occ_rows.shape[0]),
+                                        (0, 0)))
+        self.pk = np.pad(po.pk_rows, ((0, tgt - po.pk_rows.shape[0]),
+                                      (0, 0)))
+        self.va = np.pad(po.va_rows, ((0, tgt - po.va_rows.shape[0]),
+                                      (0, 0)))
+        ns = len(ssa)
+        self.ns_loc = -(-ns // n_dev)
+        spad = self.ns_loc * n_dev - ns
+        ssa_h, ssa_l = split64(np.asarray(ssa, np.int64))
+        self.ssa_h = np.pad(ssa_h, (0, spad))
+        self.ssa_l = np.pad(ssa_l, (0, spad))
+        self.n_ssa = ns
+        self.sa_intv = int(sa_intv)
+        self.C_h, self.C_l = split64(np.asarray(po.C, np.int64))
+        cd = np.asarray(po.C, np.int64)[1:5] - np.asarray(po.C,
+                                                          np.int64)[:4]
+        assert int(cd.max(initial=0)) < 1 << 31  # pack_occ enforces
+        self.C_d4 = cd.astype(np.int32)          # per-symbol totals
+        self.prim_h, self.prim_l = (int(x) for x in split64(po.primary))
+        self.n_rows = int(po.n_rows)
+        self.n_dev = n_dev
+        self.blk_origin = int(blk_origin)
+
+
+# ---------------------------------------------------------------------
+# sharded gather primitives (run INSIDE shard_map; psum by the caller)
+# ---------------------------------------------------------------------
+
+def _rank4_partial(occ_loc, pk_loc, va_loc, blk0, ih, il, jnp):
+    """This shard's contribution to rank4 at wide rows (ih, il): the
+    checkpoint+in-block counts where it owns the block, zeros
+    elsewhere.  blk0 = global block index of local block 0."""
+    blk_g = (ih << _BLK_SHIFT) + (il >> 6)
+    off = il & 63
+    nb_loc = occ_loc.shape[0]
+    bl = blk_g - blk0
+    owned = (bl >= 0) & (bl < nb_loc)
+    blc = jnp.clip(bl, 0, nb_loc - 1)
+    words = pk_loc[blc]
+    vals = va_loc[blc]
+    base = occ_loc[blc]
+    cnt = block_counts(words, vals, off, jnp) + base
+    return jnp.where(owned[..., None], cnt, 0)
+
+
+def _sym_partial(pk_loc, va_loc, blk0, ih, il, jnp):
+    """This shard's (symbol, validity) at wide rows: the packed 2-bit
+    code and the A/C/G/T bit where owned, zeros elsewhere."""
+    blk_g = (ih << _BLK_SHIFT) + (il >> 6)
+    off = il & 63
+    nb_loc = pk_loc.shape[0]
+    bl = blk_g - blk0
+    owned = (bl >= 0) & (bl < nb_loc)
+    blc = jnp.clip(bl, 0, nb_loc - 1)
+    w = pk_loc[blc, off // WORD_SYMS]
+    v = va_loc[blc, off // WORD_SYMS]
+    lane = (off % WORD_SYMS).astype(jnp.uint32)
+    sym = ((w >> (2 * lane)) & 3).astype(jnp.int32)
+    vbit = ((v >> (2 * lane)) & 1).astype(jnp.int32)
+    return (jnp.where(owned, sym, 0), jnp.where(owned, vbit, 0))
+
+
+def _ssa_partial(ssa_h_loc, ssa_l_loc, i0, idx, jnp):
+    """This shard's sampled-SA value (wide) at indices idx."""
+    n = ssa_h_loc.shape[0]
+    loc = idx - i0
+    owned = (loc >= 0) & (loc < n)
+    c = jnp.clip(loc, 0, n - 1)
+    return (jnp.where(owned, ssa_h_loc[c], 0),
+            jnp.where(owned, ssa_l_loc[c], 0))
+
+
+def _eb4_wide(rank_fn, x0h, x0l, x1h, x1l, s, C4h, C4l, ph, pl, jnp):
+    """Wide twin of occ_packed.extend_backward4: all four backward
+    extensions of bi-intervals ((x0h,x0l), (x1h,x1l), s).  rank_fn is
+    the psum-combined sharded rank4.  Returns (nx0h, nx0l, nx1h, nx1l,
+    ns) with the trailing symbol axis."""
+    tk = rank_fn(x0h, x0l)                       # (..., 4) int32
+    eh, el = wadd(x0h, x0l, s)
+    tl = rank_fn(eh, el)
+    ns = tl - tk
+    nx0h, nx0l = wadd(C4h, C4l, tk)              # C4 + tk, broadcast
+    has = (wle(x0h, x0l, ph, pl) & wlt(ph, pl, eh, el)).astype(jnp.int32)
+    h3, l3 = wadd(x1h, x1l, has)
+    h2, l2 = wadd(h3, l3, ns[..., 3])
+    h1, l1 = wadd(h2, l2, ns[..., 2])
+    h0, l0 = wadd(h1, l1, ns[..., 1])
+    nx1h = jnp.stack([h0, h1, h2, h3], axis=-1)
+    nx1l = jnp.stack([l0, l1, l2, l3], axis=-1)
+    return nx0h, nx0l, nx1h, nx1l, ns
+
+
+# ---------------------------------------------------------------------
+# wide smem1 kernel (shard_map body) — twin of smem_jax._smem1_kernel
+# ---------------------------------------------------------------------
+
+def _smem1_wide(rank_fn, C_h, C_l, C_d4, ph, pl, P_DEV, M_CAP,
+                q, qlen, x, min_intv, jnp, jax):
+    """bwt_smem1 over a replicated batch with sharded-table rank
+    queries; x0/x1 carried as (hi, lo) int32 pairs.  Cited twin:
+    ops/smem_jax._smem1_kernel (every masked update mirrors it line
+    for line; only the interval coordinates widen).  Returns
+    (ret, overflow, m_qb, m_qe, m_x0h, m_x0l, m_x1h, m_x1l, m_s, m_n)."""
+    B, L = q.shape
+    bI = jnp.arange(B)
+    iotaP = jnp.arange(P_DEV)
+    iotaM = jnp.arange(M_CAP)
+
+    at_x = q[bI, jnp.minimum(x, L - 1)]
+    startable = (x < qlen) & (at_x < 4)
+    c0 = jnp.where(startable, jnp.clip(at_x, 0, 3), 0)
+    st32 = startable.astype(jnp.int32)
+    cx0h = C_h[c0] * st32
+    cx0l = C_l[c0] * st32
+    cs = jnp.where(startable, C_d4[c0], 0)
+    cx1h = C_h[3 - c0] * st32
+    cx1l = C_l[3 - c0] * st32
+    cqe = x + 1
+
+    zP = jnp.zeros((B, P_DEV), jnp.int32)
+    zB = jnp.zeros((B,), jnp.int32)
+
+    def fpush(st, mask):
+        (f_x0h, f_x0l, f_x1h, f_x1l, f_s, f_qe, f_n, overflow,
+         cx0h, cx0l, cx1h, cx1l, cs, cqe) = st
+        ok = mask & (f_n < P_DEV)
+        oh = (iotaP[None, :] == f_n[:, None]) & ok[:, None]
+        f_x0h = jnp.where(oh, cx0h[:, None], f_x0h)
+        f_x0l = jnp.where(oh, cx0l[:, None], f_x0l)
+        f_x1h = jnp.where(oh, cx1h[:, None], f_x1h)
+        f_x1l = jnp.where(oh, cx1l[:, None], f_x1l)
+        f_s = jnp.where(oh, cs[:, None], f_s)
+        f_qe = jnp.where(oh, cqe[:, None], f_qe)
+        overflow = overflow | (mask & (f_n >= P_DEV))
+        f_n = f_n + ok.astype(jnp.int32)
+        return (f_x0h, f_x0l, f_x1h, f_x1l, f_s, f_qe, f_n, overflow,
+                cx0h, cx0l, cx1h, cx1l, cs, cqe)
+
+    def fwd_body(t, c):
+        (cx0h, cx0l, cx1h, cx1l, cs, cqe, f_x0h, f_x0l, f_x1h, f_x1l,
+         f_s, f_qe, f_n, active, overflow) = c
+        i = x + t
+        at_end = active & (i >= qlen)
+        ch = q[bI, jnp.clip(i, 0, L - 1)]
+        amb = active & ~at_end & (ch > 3)
+        st = fpush((f_x0h, f_x0l, f_x1h, f_x1l, f_s, f_qe, f_n, overflow,
+                    cx0h, cx0l, cx1h, cx1l, cs, cqe), at_end | amb)
+        (f_x0h, f_x0l, f_x1h, f_x1l, f_s, f_qe, f_n, overflow,
+         *_rest) = st
+        active = active & ~(at_end | amb)
+        # forward extension via the revcomp swap (smem_jax fwd_body):
+        # _eb4(po, cx1, cx0, cs) — x0 := cx1, x1 := cx0
+        nx0h, nx0l, nx1h, nx1l, ns = _eb4_wide(
+            rank_fn, cx1h, cx1l, cx0h, cx0l, cs, C_h[:4], C_l[:4],
+            ph, pl, jnp)
+        cc = jnp.clip(3 - ch, 0, 3)
+        ex1h = nx0h[bI, cc]
+        ex1l = nx0l[bI, cc]
+        ex0h = nx1h[bI, cc]
+        ex0l = nx1l[bI, cc]
+        es = ns[bI, cc]
+        changed = active & (es != cs)
+        st = fpush((f_x0h, f_x0l, f_x1h, f_x1l, f_s, f_qe, f_n, overflow,
+                    cx0h, cx0l, cx1h, cx1l, cs, cqe), changed)
+        (f_x0h, f_x0l, f_x1h, f_x1l, f_s, f_qe, f_n, overflow,
+         *_rest) = st
+        too_small = changed & (es < min_intv)
+        active = active & ~too_small
+        upd = active
+        cx0h = jnp.where(upd, ex0h, cx0h)
+        cx0l = jnp.where(upd, ex0l, cx0l)
+        cx1h = jnp.where(upd, ex1h, cx1h)
+        cx1l = jnp.where(upd, ex1l, cx1l)
+        cs = jnp.where(upd, es, cs)
+        cqe = jnp.where(upd, i + 1, cqe)
+        return (cx0h, cx0l, cx1h, cx1l, cs, cqe, f_x0h, f_x0l, f_x1h,
+                f_x1l, f_s, f_qe, f_n, active, overflow)
+
+    c = (cx0h, cx0l, cx1h, cx1l, cs, cqe, zP, zP, zP, zP, zP, zP, zB,
+         startable, jnp.zeros((B,), bool))
+    c = jax.lax.fori_loop(1, L + 1, fwd_body, c)
+    (cx0h, cx0l, cx1h, cx1l, cs, cqe, f_x0h, f_x0l, f_x1h, f_x1l, f_s,
+     f_qe, f_n, active, overflow) = c
+    st = fpush((f_x0h, f_x0l, f_x1h, f_x1l, f_s, f_qe, f_n, overflow,
+                cx0h, cx0l, cx1h, cx1l, cs, cqe), active)
+    (f_x0h, f_x0l, f_x1h, f_x1l, f_s, f_qe, f_n, overflow, *_rest) = st
+    has = startable & (f_n > 0)
+    last = jnp.maximum(f_n - 1, 0)
+    ret = jnp.where(has, f_qe[bI, last], x + 1)
+
+    # prev = reversed fcur (longest first)
+    ridx = jnp.clip(f_n[:, None] - 1 - iotaP[None, :], 0, P_DEV - 1)
+    inb = iotaP[None, :] < f_n[:, None]
+    tga = functools.partial(jnp.take_along_axis, indices=ridx, axis=1)
+    p_x0h = jnp.where(inb, tga(f_x0h), 0)
+    p_x0l = jnp.where(inb, tga(f_x0l), 0)
+    p_x1h = jnp.where(inb, tga(f_x1h), 0)
+    p_x1l = jnp.where(inb, tga(f_x1l), 0)
+    p_s = jnp.where(inb, tga(f_s), 0)
+    p_qe = jnp.where(inb, tga(f_qe), 0)
+    p_n = f_n
+
+    zM = jnp.zeros((B, M_CAP), jnp.int32)
+    m_qb, m_qe, m_s, m_n = zM, zM, zM, zB
+    m_x0h, m_x0l, m_x1h, m_x1l = zM, zM, zM, zM
+    back_active = startable & (p_n > 0)
+
+    def bwd_body(t, c):
+        (p_x0h, p_x0l, p_x1h, p_x1l, p_s, p_qe, p_n, m_qb, m_qe,
+         m_x0h, m_x0l, m_x1h, m_x1l, m_s, m_n, back_active) = c
+        i = x - t
+        live = back_active & (i >= -1)
+        ch = jnp.where(i >= 0, q[bI, jnp.maximum(i, 0)], 4)
+        cvalid = live & (i >= 0) & (ch < 4)
+        nx0h, nx0l, nx1h, nx1l, ns = _eb4_wide(
+            rank_fn, p_x0h, p_x0l, p_x1h, p_x1l, p_s, C_h[:4], C_l[:4],
+            ph, pl, jnp)
+        chc = jnp.clip(ch, 0, 3)
+        sel = lambda a: jnp.take_along_axis(
+            a, chc[:, None, None], 2)[..., 0].astype(jnp.int32)
+        sel_x0h, sel_x0l = sel(nx0h), sel(nx0l)
+        sel_x1h, sel_x1l = sel(nx1h), sel(nx1l)
+        sel_s = sel(ns)
+
+        # vectorized slot compaction — identical logic to
+        # smem_jax._smem1_kernel.bwd_body (proof in its comment)
+        has = live[:, None] & (iotaP[None, :] < p_n[:, None])
+        min_i = jnp.broadcast_to(jnp.asarray(min_intv), (B,))[:, None]
+        stop = has & (~cvalid[:, None] | (sel_s < min_i))
+        keep = has & ~stop
+        keep_i = keep.astype(jnp.int32)
+        ncum = jnp.cumsum(keep_i, axis=1)
+        kidx = jnp.where(keep, iotaP[None, :], -1)
+        prev_kidx = jax.lax.associative_scan(jnp.maximum, kidx, axis=1)
+        prev_kidx = jnp.concatenate(
+            [jnp.full((B, 1), -1, jnp.int32), prev_kidx[:, :-1]], axis=1)
+        prev_s = jnp.take_along_axis(
+            sel_s, jnp.maximum(prev_kidx, 0), axis=1)
+        push = keep & ((prev_kidx < 0) | (sel_s != prev_s))
+        key = jnp.where(push, iotaP[None, :], P_DEV)
+        order = jnp.argsort(key, axis=1)
+        n_cnt = jnp.sum(push.astype(jnp.int32), axis=1)
+        inb_n = iotaP[None, :] < n_cnt[:, None]
+        gat = lambda a: jnp.where(
+            inb_n, jnp.take_along_axis(a, order, axis=1), 0)
+        n_x0h, n_x0l = gat(sel_x0h), gat(sel_x0l)
+        n_x1h, n_x1l = gat(sel_x1h), gat(sel_x1l)
+        n_s = gat(sel_s)
+        n_qe = gat(p_qe)
+        cand = stop & (ncum - keep_i == 0)
+        any_cand = jnp.any(cand, axis=1)
+        first_j = jnp.argmax(cand, axis=1)
+        lastm = jnp.maximum(m_n - 1, 0)
+        emit = any_cand & ((m_n == 0) | (i + 1 < m_qb[bI, lastm])) & (
+            m_n < M_CAP)
+        ohm = (iotaM[None, :] == m_n[:, None]) & emit[:, None]
+        m_qb = jnp.where(ohm, (i + 1)[:, None], m_qb)
+        m_qe = jnp.where(ohm, p_qe[bI, first_j][:, None], m_qe)
+        m_x0h = jnp.where(ohm, p_x0h[bI, first_j][:, None], m_x0h)
+        m_x0l = jnp.where(ohm, p_x0l[bI, first_j][:, None], m_x0l)
+        m_x1h = jnp.where(ohm, p_x1h[bI, first_j][:, None], m_x1h)
+        m_x1l = jnp.where(ohm, p_x1l[bI, first_j][:, None], m_x1l)
+        m_s = jnp.where(ohm, p_s[bI, first_j][:, None], m_s)
+        m_n = m_n + emit.astype(jnp.int32)
+        back_active = back_active & (n_cnt > 0)
+        return (n_x0h, n_x0l, n_x1h, n_x1l, n_s, n_qe, n_cnt, m_qb,
+                m_qe, m_x0h, m_x0l, m_x1h, m_x1l, m_s, m_n, back_active)
+
+    c = (p_x0h, p_x0l, p_x1h, p_x1l, p_s, p_qe, p_n, m_qb, m_qe,
+         m_x0h, m_x0l, m_x1h, m_x1l, m_s, m_n, back_active)
+    c = jax.lax.fori_loop(1, L + 2, bwd_body, c)
+    (_, _, _, _, _, _, _, m_qb, m_qe, m_x0h, m_x0l, m_x1h, m_x1l, m_s,
+     m_n, _) = c
+    overflow = overflow | (m_n >= M_CAP)
+    return (ret, overflow, m_qb, m_qe, m_x0h, m_x0l, m_x1h, m_x1l,
+            m_s, m_n)
+
+
+# ---------------------------------------------------------------------
+# wide SA kernel (shard_map body) — twin of smem_jax._sa_kernel
+# ---------------------------------------------------------------------
+
+def _sa_wide(rank_fn, sym_fn, ssa_fn, C_h, C_l, ph, pl, n_rows, sa_intv,
+             rh, rl, jnp, jax):
+    """Batched bwt_sa with wide rows and sharded tables; twin of
+    ops/smem_jax._sa_kernel / occ_packed.sa_value_batch.  Returns
+    (val_h, val_l)."""
+    zero = jnp.zeros_like(rh)
+    log_si = int(sa_intv).bit_length() - 1
+    idx_per_hi = HALF >> log_si
+    max_it = min(int(n_rows) + 1, (1 << 31) - 1)
+
+    def cond(c):
+        _rh, _rl, _d, _vh, _vl, done, it = c
+        return jnp.logical_and(~jnp.all(done), it < max_it)
+
+    def body(c):
+        rh, rl, d, vh, vl, done, it = c
+        hitp = ~done & weq(rh, rl, ph, pl)
+        dh, dl = wadd(zero, zero, d)
+        vh = jnp.where(hitp, dh, vh)
+        vl = jnp.where(hitp, dl, vl)
+        done = done | hitp
+        sampled = ~done & ((rl & (sa_intv - 1)) == 0)
+        idx = rh * idx_per_hi + (rl >> log_si)
+        sh, sl = ssa_fn(idx)
+        sh, sl = wadd(sh, sl, d)
+        vh = jnp.where(sampled, sh, vh)
+        vl = jnp.where(sampled, sl, vl)
+        done = done | sampled
+        # LF step
+        sym, vbit = sym_fn(rh, rl)
+        rk4 = rank_fn(rh, rl)
+        rankc = jnp.take_along_axis(rk4, sym[..., None], axis=-1)[..., 0]
+        # n_before = r - sum(rk4) - (primary < r)   (wide - int32)
+        adj = rk4.sum(axis=-1) + wlt(ph, pl, rh, rl).astype(jnp.int32)
+        nbh, nbl = wadd(rh, rl, -adj)
+        # newr = C[sym] + rankc (valid) | C[4] + n_before (ambiguous)
+        ah, al = wadd(C_h[jnp.minimum(sym, 3)],
+                      C_l[jnp.minimum(sym, 3)], rankc)
+        bh, bl = waddw(nbh, nbl, jnp.full_like(nbh, C_h[4]),
+                       jnp.full_like(nbl, C_l[4]))
+        isv = vbit == 1
+        nrh = jnp.where(isv, ah, bh)
+        nrl = jnp.where(isv, al, bl)
+        rh = jnp.where(done, rh, nrh)
+        rl = jnp.where(done, rl, nrl)
+        d = jnp.where(done, d, d + 1)
+        return (rh, rl, d, vh, vl, done, it + 1)
+
+    c0 = (rh, rl, zero, zero, zero, jnp.zeros(rh.shape, bool),
+          jnp.int32(0))
+    out = jax.lax.while_loop(cond, body, c0)
+    return out[3], out[4]
+
+
+# ---------------------------------------------------------------------
+# mesh wiring
+# ---------------------------------------------------------------------
+
+def make_sharded_rank4(mesh, tabs: ShardedSeedTables):
+    """Low-level: a host-callable rank4 over the sharded tables for
+    wide int64 positions — the unit under tests/test_smem_sharded.py's
+    >2^31 routing pin.  Returns fn(rows_int64) -> (N, 4) int32."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    nb_loc = tabs.nb_loc
+    origin = tabs.blk_origin
+
+    def body(occ_loc, pk_loc, va_loc, ih, il):
+        blk0 = origin + jax.lax.axis_index(axis) * nb_loc
+        part = _rank4_partial(occ_loc, pk_loc, va_loc, blk0, ih, il, jnp)
+        return jax.lax.psum(part, axis)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(None), P(None)),
+        out_specs=P(None), check_vma=False))
+
+    def rank4_wide(rows):
+        ih, il = split64(np.asarray(rows, np.int64))
+        return np.asarray(fn(tabs.occ, tabs.pk, tabs.va,
+                             jnp.asarray(ih), jnp.asarray(il)))
+
+    return rank4_wide
+
+
+def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
+    """The production hook: seed_fn(reads) -> (n, 4) int64 rows
+    byte-identical to ops/smem_jax.make_device_seeder's (and the C++
+    host engine's), with the occ/SA tables SHARDED by block range over
+    the mesh and all FM coordinates wide — no 2^31 cap.  Plugs into
+    NativePipeline.seed_fn unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from bwamem_tpu.index.smem_batch import M_CAP, P_CAP
+    from bwamem_tpu.ops.smem_jax import collect_seeds_device
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    tabs = ShardedSeedTables(po, fm.ssa, fm.sa_intv, n_dev)
+    C_h = jnp.asarray(tabs.C_h)
+    C_l = jnp.asarray(tabs.C_l)
+    C_d4 = jnp.asarray(tabs.C_d4)
+    nb_loc, ns_loc = tabs.nb_loc, tabs.ns_loc
+
+    def smem_body(occ_loc, pk_loc, va_loc, q, qlen, x, mi):
+        blk0 = jax.lax.axis_index(axis) * nb_loc
+
+        def rank_fn(ih, il):
+            return jax.lax.psum(
+                _rank4_partial(occ_loc, pk_loc, va_loc, blk0, ih, il,
+                               jnp), axis)
+
+        out = _smem1_wide(rank_fn, C_h, C_l, C_d4, tabs.prim_h,
+                          tabs.prim_l, P_CAP, M_CAP, q, qlen, x, mi,
+                          jnp, jax)
+        (ret, ovf, m_qb, m_qe, m_x0h, m_x0l, m_x1h, m_x1l, m_s,
+         m_n) = out
+        # ONE packed result -> one D2H fetch per round (the tunnel-RTT
+        # lesson of collect_smems_device.run)
+        return jnp.concatenate(
+            [ret[:, None], ovf.astype(jnp.int32)[:, None], m_n[:, None],
+             m_qb, m_qe, m_x0h, m_x0l, m_x1h, m_x1l, m_s], axis=1)
+
+    smem_sh = jax.jit(jax.shard_map(
+        smem_body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(None), P(None), P(None),
+                  P(None)),
+        out_specs=P(None), check_vma=False))
+
+    K = M_CAP                     # the m_* slot matrices are M_CAP wide
+
+    def smem1_fn(q, qlen, x, mi):
+        a = np.asarray(smem_sh(tabs.occ, tabs.pk, tabs.va, q, qlen,
+                               x, mi))
+        ret, ovf, m_n = a[:, 0], a[:, 1], a[:, 2]
+        f = lambda k: a[:, 3 + k * K:3 + (k + 1) * K]
+        m_qb, m_qe = f(0), f(1)
+        m_x0 = join64(f(2), f(3))
+        m_x1 = join64(f(4), f(5))
+        m_s = f(6)
+        return (ret.astype(np.int64).copy(), ovf, m_qb, m_qe, m_x0,
+                m_x1, m_s.astype(np.int64), m_n)
+
+    def sa_body(occ_loc, pk_loc, va_loc, sh_loc, sl_loc, rh, rl):
+        k = jax.lax.axis_index(axis)
+        blk0 = k * nb_loc
+        i0 = k * ns_loc
+
+        def rank_fn(ih, il):
+            return jax.lax.psum(
+                _rank4_partial(occ_loc, pk_loc, va_loc, blk0, ih, il,
+                               jnp), axis)
+
+        def sym_fn(ih, il):
+            s, v = _sym_partial(pk_loc, va_loc, blk0, ih, il, jnp)
+            sv = jax.lax.psum(jnp.stack([s, v], -1), axis)
+            return sv[..., 0], sv[..., 1]
+
+        def ssa_fn(idx):
+            h, l = _ssa_partial(sh_loc, sl_loc, i0, idx, jnp)
+            hl = jax.lax.psum(jnp.stack([h, l], -1), axis)
+            return hl[..., 0], hl[..., 1]
+
+        vh, vl = _sa_wide(rank_fn, sym_fn, ssa_fn, C_h, C_l,
+                          tabs.prim_h, tabs.prim_l, tabs.n_rows,
+                          tabs.sa_intv, rh, rl, jnp, jax)
+        return jnp.stack([vh, vl], axis=0)
+
+    sa_sh = jax.jit(jax.shard_map(
+        sa_body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(None),
+                  P(None)),
+        out_specs=P(None), check_vma=False))
+
+    def sa_fn(rows_np):
+        rh, rl = split64(np.asarray(rows_np, np.int64))
+        out = np.asarray(sa_sh(tabs.occ, tabs.pk, tabs.va, tabs.ssa_h,
+                               tabs.ssa_l, jnp.asarray(rh),
+                               jnp.asarray(rl)))
+        return join64(out[0], out[1])
+
+    sa_fn.wide = True
+
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+
+    def seed_fn(reads):
+        return collect_seeds_device(
+            None, fm, reads, opt.min_seed_len, split_len,
+            opt.split_width, opt.max_occ, sa_fn=sa_fn,
+            smem1_fn=smem1_fn)
+
+    return seed_fn

@@ -400,15 +400,25 @@ def make_sharded_cigar_idx_backend(mesh: Mesh, pac=None, text_dev=None):
     return cigar_idx
 
 
-def make_sharded_device_seeder(mesh: Mesh, po, fm, opt):
-    """Data-parallel device seeding: the chunk's reads shard over the
-    mesh for the lockstep SMEM search, the SA-walk rows shard for the
-    seed materialization, and the packed-occ tables + sampled SA
-    replicate (index replication, SURVEY.md §7 step 6).  Returns the
-    same `seed_fn(reads) -> (n, 4) int64 rows` contract as
+def make_sharded_device_seeder(mesh: Mesh, po, fm, opt,
+                               table_sharded: bool | None = None):
+    """Data-parallel device seeding.  Two regimes:
+
+    - reads-sharded (default below 2^31 rows): the chunk's reads shard
+      over the mesh for the lockstep SMEM search, the SA-walk rows
+      shard for the seed materialization, and the packed-occ tables +
+      sampled SA replicate (index replication, SURVEY.md §7 step 6).
+    - TABLE-sharded (automatic at >= 2^31 rows, i.e. GRCh38 scale, or
+      forced with table_sharded=True): the occ/SA tables shard by
+      block range over the mesh and rank queries route to the owning
+      shard via masked psum — each chip holds 1/N of the index and FM
+      coordinates go wide, lifting the int32 cap entirely
+      (ops/smem_sharded.py; BASELINE config #4).
+
+    Returns the same `seed_fn(reads) -> (n, 4) int64 rows` contract as
     ops/smem_jax.make_device_seeder, so NativePipeline.seed_fn consumes
-    either; rows are identical to the single-device (and C++ host)
-    seeder's (tests/test_dist.py)."""
+    any of them; rows are identical to the single-device (and C++ host)
+    seeder's (tests/test_dist.py, tests/test_smem_sharded.py)."""
     import functools
 
     import jax.numpy as jnp
@@ -422,9 +432,13 @@ def make_sharded_device_seeder(mesh: Mesh, po, fm, opt):
 
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
+    if table_sharded is None:
+        table_sharded = int(po.n_rows) >= 1 << 31
+    if table_sharded:
+        from bwamem_tpu.ops.smem_sharded import make_table_sharded_seeder
+
+        return make_table_sharded_seeder(mesh, po, fm, opt)
     d = DeviceOcc(po)
-    if int(d.n_rows) >= 1 << 31:
-        raise ValueError("device seeding requires n_rows < 2^31")
 
     smem_body = functools.partial(
         _smem1_kernel, d.occ_rows, d.pk_rows, d.va_rows, d.C,
