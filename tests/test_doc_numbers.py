@@ -145,6 +145,130 @@ def test_newest_bench_json_agrees_with_quoted_gcups():
         f"quote {quoted} — reconcile (noise allowance {NOISE_REL:.0%})")
 
 
+def _acceptable_number_strings():
+    """Every number string derivable from a tracked measurement: the
+    RESULTS.json quotes/values, every run value in every tracked
+    ladder.json, every numeric-tail bench_out_r*/ *.out artifact, and
+    every '<float> reads/s' a tracked .err/.log recorded.  Each value
+    is admitted in comma form, NN.Nk form, floor and round-half-up,
+    plus its half (PE docs quote pairs/s = reads/s / 2)."""
+    import math
+    import re
+
+    acc: set[str] = set()
+
+    def fmt(v):
+        try:
+            v = float(v)
+        except (TypeError, ValueError):
+            return
+        for f in (math.floor(v), math.floor(v + 0.5)):
+            acc.add(f"{int(f):,}")
+        for kv in (math.floor(v / 100) / 10, math.floor(v / 100 + 0.5) / 10):
+            acc.add(f"{kv:.1f}k")
+
+    def fmt2(v):
+        try:
+            v = float(v)
+        except (TypeError, ValueError):
+            return
+        fmt(v)
+        fmt(v / 2)
+
+    for ent in _load_results().values():
+        acc.add(ent["quote"])
+        fmt2(ent["value"])
+    for p in glob.glob(os.path.join(REPO, "bench_out_r*/ladder.json")):
+        with open(p) as f:
+            ladder = json.load(f)
+        for rec in ladder.values():
+            b = rec.get("best")
+            vals = list(b.values()) if isinstance(b, dict) else [b]
+            for r in rec.get("runs", []):
+                v = r.get("value")
+                vals.extend(v.values() if isinstance(v, dict) else [v])
+            for v in vals:
+                fmt2(v)
+    for p in glob.glob(os.path.join(REPO, "bench_out_r*/*.out")):
+        with open(p, errors="replace") as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        for ln in reversed(lines):
+            try:
+                d = json.loads(ln)
+                if isinstance(d, dict):
+                    for v in d.values():
+                        fmt2(v)
+                    break
+            except ValueError:
+                pass
+            try:
+                fmt2(float(ln))
+                break
+            except ValueError:
+                continue
+    for pat in ("bench_out_r*/*.err", "bench_out_r*/*.log"):
+        for p in glob.glob(os.path.join(REPO, pat)):
+            with open(p, errors="replace") as f:
+                for ln in f:
+                    for m in re.finditer(r"(\d+(?:\.\d+)?) reads/s", ln):
+                        fmt2(m.group(1))
+    return acc
+
+
+# Measurements from rounds 2-3 whose raw runs predate the bench_out_r*/
+# artifact discipline; they live in clearly round-labelled historical
+# sections of bench/README.md and are FROZEN here — adding any NEW
+# untracked number to the docs fails the scan below, and so does
+# deleting a historical section without pruning its entry here.
+_FROZEN_HISTORICAL = {
+    "15,213", "14,851", "14,390", "5,215",   # round-2 e2e table
+    "20.2k", "28.2k",                        # round-2b depth ladder
+    "3,366", "8,332", "4,913",               # round-2 rescue A/B
+    "9.4k",                                  # round-2 index-scale table
+    "23.9k",                                 # round-2 -t scaling table
+}
+
+
+def test_benchreadme_prose_numbers_resolve():
+    """Round-4 verdict (weak #3): prose numbers in bench/README.md could
+    bypass the headline drift checks.  Scan every comma-formatted or
+    NN.Nk-formatted figure; each must resolve to a tracked measurement
+    (see _acceptable_number_strings) or be a frozen pre-discipline
+    historical value.  Round run-size parameters (1,000,000 etc.) are
+    exempt."""
+    import re
+
+    acc = _acceptable_number_strings() | _FROZEN_HISTORICAL
+    with open(os.path.join(REPO, "bench", "README.md")) as f:
+        text = f.read()
+    nums = re.findall(r"\b\d{1,3}(?:,\d{3})+(?:\.\d+)?\b|\b\d+\.\d+k\b",
+                      text)
+    orphans = sorted({
+        n for n in nums
+        if not re.fullmatch(r"\d{1,3}(?:,000)+", n) and n not in acc})
+    assert not orphans, (
+        "bench/README.md quotes numbers no tracked artifact records — "
+        f"capture them (bench_out_r*/) and curate, or reword: {orphans}")
+
+
+def test_toplevel_docs_prose_numbers_resolve():
+    """Same scan over README.md and PARITY.md (no historical exemptions
+    there — both quote only curated headlines)."""
+    import re
+
+    acc = _acceptable_number_strings()
+    for doc in ("README.md", "PARITY.md"):
+        with open(os.path.join(REPO, doc)) as f:
+            text = f.read()
+        nums = re.findall(
+            r"\b\d{1,3}(?:,\d{3})+(?:\.\d+)?\b|\b\d+\.\d+k\b", text)
+        orphans = sorted({
+            n for n in nums
+            if not re.fullmatch(r"\d{1,3}(?:,000)+", n) and n not in acc})
+        assert not orphans, (
+            f"{doc} quotes numbers no tracked artifact records: {orphans}")
+
+
 def test_no_stale_round2_headlines():
     # the specific stale numbers the round-3 verdict flagged
     for doc in ("README.md", os.path.join("bench", "README.md"),
