@@ -68,6 +68,15 @@ class Tracer:
         with self._lock:
             self.counters.reads += reads
             self.counters.host_seconds += seconds
+            if self._f:
+                # per-chunk host (C++ seed+chain+plan) rows alongside the
+                # device rows: without them a trace cannot separate the
+                # startup page-in of gigabase occ tables from the steady
+                # per-chunk host cost (round-5 GRCh38 profiling)
+                self._f.write(json.dumps({
+                    "t": round(time.time(), 3), "kind": "host_chunk",
+                    "reads": reads, "sec": round(seconds, 6)}) + "\n")
+                self._f.flush()
 
     def close(self) -> None:
         if self._f:

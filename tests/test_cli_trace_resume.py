@@ -75,8 +75,11 @@ def test_trace_and_resume(world):
     kinds = {l["kind"] for l in lines}
     assert any(k.startswith("extend_L") for k in kinds)
     assert any(k.startswith("extend_R") for k in kinds)
+    assert "host_chunk" in kinds          # per-chunk host seed+chain rows
     assert all(l["sec"] >= 0 for l in lines)
-    assert sum(l["cells"] for l in lines) > 0
+    assert sum(l.get("cells", 0) for l in lines) > 0
+    assert sum(l["reads"] for l in lines
+               if l["kind"] == "host_chunk") == 120
     assert "[mem] counters:" in r1.stderr
     ctr = json.loads(r1.stderr.split("[mem] counters: ")[1].splitlines()[0])
     assert ctr["reads"] == 120 and ctr["device_batches"] >= 6
