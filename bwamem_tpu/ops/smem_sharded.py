@@ -115,8 +115,9 @@ def weq(ah, al, bh, bl):
 class ShardedSeedTables:
     """Pads + splits the PackedOcc / sampled-SA tables for an n-way
     block-range sharding and precomputes the wide constants.  Pure
-    host-side numpy; the arrays are fed to shard_map with P(axis)
-    in_specs (XLA device_puts each shard's slice once per executable).
+    host-side numpy; the consumers device_put the arrays ONCE under a
+    NamedSharding(P(axis)) at construction (_put_sharded) so each chip
+    holds its 1/N slice resident — never per-call jit arguments.
 
     blk_origin: global block index of local block 0 — production is 0;
     tests place a small table at a >=2^31-row origin to prove the wide
@@ -476,6 +477,19 @@ def _sa_wide(rank_fn, sym_fn, ssa_fn, C_h, C_l, ph, pl, n_rows, sa_intv,
 # mesh wiring
 # ---------------------------------------------------------------------
 
+def _put_sharded(mesh, axis, *arrays):
+    """device_put each table once, sharded on dim 0 over the mesh axis
+    — the tables must be RESIDENT (one upload at construction), never
+    per-call jit arguments that re-transfer gigabytes every smem1
+    round (the DeviceOcc residency lesson, ops/smem_jax.py)."""
+    import jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
 def make_sharded_rank4(mesh, tabs: ShardedSeedTables):
     """Low-level: a host-callable rank4 over the sharded tables for
     wide int64 positions — the unit under tests/test_smem_sharded.py's
@@ -487,6 +501,8 @@ def make_sharded_rank4(mesh, tabs: ShardedSeedTables):
     axis = mesh.axis_names[0]
     nb_loc = tabs.nb_loc
     origin = tabs.blk_origin
+    occ_d, pk_d, va_d = _put_sharded(mesh, axis, tabs.occ, tabs.pk,
+                                     tabs.va)
 
     def body(occ_loc, pk_loc, va_loc, ih, il):
         blk0 = origin + jax.lax.axis_index(axis) * nb_loc
@@ -500,7 +516,7 @@ def make_sharded_rank4(mesh, tabs: ShardedSeedTables):
 
     def rank4_wide(rows):
         ih, il = split64(np.asarray(rows, np.int64))
-        return np.asarray(fn(tabs.occ, tabs.pk, tabs.va,
+        return np.asarray(fn(occ_d, pk_d, va_d,
                              jnp.asarray(ih), jnp.asarray(il)))
 
     return rank4_wide
@@ -526,6 +542,8 @@ def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
     C_l = jnp.asarray(tabs.C_l)
     C_d4 = jnp.asarray(tabs.C_d4)
     nb_loc, ns_loc = tabs.nb_loc, tabs.ns_loc
+    occ_d, pk_d, va_d, ssa_h_d, ssa_l_d = _put_sharded(
+        mesh, axis, tabs.occ, tabs.pk, tabs.va, tabs.ssa_h, tabs.ssa_l)
 
     def smem_body(occ_loc, pk_loc, va_loc, q, qlen, x, mi):
         blk0 = jax.lax.axis_index(axis) * nb_loc
@@ -555,8 +573,7 @@ def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
     K = M_CAP                     # the m_* slot matrices are M_CAP wide
 
     def smem1_fn(q, qlen, x, mi):
-        a = np.asarray(smem_sh(tabs.occ, tabs.pk, tabs.va, q, qlen,
-                               x, mi))
+        a = np.asarray(smem_sh(occ_d, pk_d, va_d, q, qlen, x, mi))
         ret, ovf, m_n = a[:, 0], a[:, 1], a[:, 2]
         f = lambda k: a[:, 3 + k * K:3 + (k + 1) * K]
         m_qb, m_qe = f(0), f(1)
@@ -599,9 +616,8 @@ def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
 
     def sa_fn(rows_np):
         rh, rl = split64(np.asarray(rows_np, np.int64))
-        out = np.asarray(sa_sh(tabs.occ, tabs.pk, tabs.va, tabs.ssa_h,
-                               tabs.ssa_l, jnp.asarray(rh),
-                               jnp.asarray(rl)))
+        out = np.asarray(sa_sh(occ_d, pk_d, va_d, ssa_h_d, ssa_l_d,
+                               jnp.asarray(rh), jnp.asarray(rl)))
         return join64(out[0], out[1])
 
     sa_fn.wide = True
