@@ -396,9 +396,11 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
     Pathological reads (slot overflow) fall back to the scalar host
     search, exactly like the host batch path.  `smem1_fn` swaps in an
     alternative jitted smem1 (the mesh-sharded one from
-    parallel/dist.make_sharded_device_seeder) and selects the
-    host-orchestrated round loop (the sharded twin has no fused
-    variant)."""
+    parallel/dist.make_sharded_device_seeder); alone it selects the
+    host-orchestrated round loop, and together with a matching
+    `all_fn` (the table-sharded fused twin, ops/smem_sharded.
+    _smem_all_wide) the first round runs fused while smem1_fn serves
+    only the rare split re-seed rounds."""
     from bwamem_tpu.index.fmindex import BiInterval, smem1
 
     B = len(reads)
@@ -473,18 +475,34 @@ def collect_smems_device(d: DeviceOcc, fm, reads, min_seed_len: int,
 
     mems: list[list] = [[] for _ in range(B)]
     ones = np.ones(B, np.int32)
-    if smem1_fn is None:
+    if smem1_fn is None or all_fn is not None:
         # fused first round: ONE dispatch + ONE fetch for the chunk
+        # (with BOTH given, all_fn runs the first round fused and
+        # smem1_fn serves the rare split re-seed rounds — the
+        # table-sharded seeder's arrangement)
         if all_fn is None:
             all_fn = d.smem_all_jit()
         packed = np.asarray(all_fn(qd, qlen_d,
                                    jnp.int32(min_seed_len)))
         cnt, ovf = packed[:, 0], packed[:, 1]
-        s_qb = packed[:, 2:2 + ALL_CAP]
-        s_qe = packed[:, 2 + ALL_CAP:2 + 2 * ALL_CAP]
-        s_x0 = packed[:, 2 + 2 * ALL_CAP:2 + 3 * ALL_CAP]
-        s_x1 = packed[:, 2 + 3 * ALL_CAP:2 + 4 * ALL_CAP]
-        s_s = packed[:, 2 + 4 * ALL_CAP:2 + 5 * ALL_CAP]
+        if getattr(all_fn, "wide", False):
+            # table-sharded wide twin (ops/smem_sharded._smem_all_wide):
+            # 7 slot planes; (hi, lo) joined HOST-side into int64 —
+            # never through jnp (x64 off would truncate)
+            from bwamem_tpu.ops.smem_sharded import join64
+
+            fA = lambda k: packed[:, 2 + k * ALL_CAP:
+                                  2 + (k + 1) * ALL_CAP]
+            s_qb, s_qe = fA(0), fA(1)
+            s_x0 = join64(fA(2), fA(3))
+            s_x1 = join64(fA(4), fA(5))
+            s_s = fA(6)
+        else:
+            s_qb = packed[:, 2:2 + ALL_CAP]
+            s_qe = packed[:, 2 + ALL_CAP:2 + 2 * ALL_CAP]
+            s_x0 = packed[:, 2 + 2 * ALL_CAP:2 + 3 * ALL_CAP]
+            s_x1 = packed[:, 2 + 3 * ALL_CAP:2 + 4 * ALL_CAP]
+            s_s = packed[:, 2 + 4 * ALL_CAP:2 + 5 * ALL_CAP]
         for b in range(B):
             if ovf[b]:  # exact host fallback, scalar oracle
                 xx = 0

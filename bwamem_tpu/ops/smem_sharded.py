@@ -415,6 +415,72 @@ def _smem1_wide(rank_fn, C_h, C_l, C_d4, ph, pl, P_DEV, M_CAP,
             m_s, m_n)
 
 
+def _smem_all_wide(rank_fn, C_h, C_l, C_d4, ph, pl, P_DEV, M_CAP,
+                   ALL_CAP, q, qlen, msl, jnp, jax):
+    """Whole first-round SMEM collection under ONE dispatch with
+    sharded tables and wide coordinates — twin of
+    ops/smem_jax._smem_all_kernel (frontier while_loop, N-run jumps,
+    slot append order all identical; only the interval coordinates
+    split into (hi, lo) planes).  Returns one packed int32 matrix
+    (B, 2 + 7*ALL_CAP): [cnt, ovf, qb…, qe…, x0h…, x0l…, x1h…, x1l…,
+    s…] so the host needs a single D2H fetch per chunk."""
+    B, L = q.shape
+    bI = jnp.arange(B)
+    kI = jnp.arange(M_CAP)
+    idxL = jnp.arange(L, dtype=jnp.int32)[None, :]
+    nn = jnp.where(q <= 3, idxL, L)
+    next_nn = jnp.flip(jax.lax.cummin(jnp.flip(nn, axis=1), axis=1),
+                       axis=1)
+
+    def cond(c):
+        return jnp.any(c[0] < qlen)
+
+    def body(c):
+        (x, sl_qb, sl_qe, sl_x0h, sl_x0l, sl_x1h, sl_x1l, sl_s, cnt,
+         ovf) = c
+        at = q[bI, jnp.minimum(x, L - 1)]
+        todo = x < qlen
+        skip = todo & (at > 3)          # N run: jump past it, no search
+        x_adv = jnp.where(skip, next_nn[bI, jnp.minimum(x, L - 1)], x)
+        active = todo & ~skip
+        xs_eff = jnp.where(active, x_adv, qlen).astype(jnp.int32)
+        (ret, o, m_qb, m_qe, m_x0h, m_x0l, m_x1h, m_x1l, m_s,
+         m_n) = _smem1_wide(rank_fn, C_h, C_l, C_d4, ph, pl, P_DEV,
+                            M_CAP, q, qlen, xs_eff,
+                            jnp.ones_like(qlen), jnp, jax)
+        keep = (kI[None, :] < m_n[:, None]) & ((m_qe - m_qb) >= msl) \
+            & active[:, None]
+        csum = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+        total = csum[:, -1]
+        # appended order = descending kernel index among kept slots
+        pos = total[:, None] - csum
+        tgt = jnp.where(keep, cnt[:, None] + pos, ALL_CAP)
+        tgt = jnp.minimum(tgt, ALL_CAP)             # spill -> dropped col
+        sl_qb = sl_qb.at[bI[:, None], tgt].set(m_qb)
+        sl_qe = sl_qe.at[bI[:, None], tgt].set(m_qe)
+        sl_x0h = sl_x0h.at[bI[:, None], tgt].set(m_x0h)
+        sl_x0l = sl_x0l.at[bI[:, None], tgt].set(m_x0l)
+        sl_x1h = sl_x1h.at[bI[:, None], tgt].set(m_x1h)
+        sl_x1l = sl_x1l.at[bI[:, None], tgt].set(m_x1l)
+        sl_s = sl_s.at[bI[:, None], tgt].set(m_s)
+        new_cnt = cnt + jnp.where(active, total, 0)
+        ovf = ovf | (active & o) | (new_cnt > ALL_CAP)
+        new_x = jnp.where(active, ret, x_adv)
+        return (new_x, sl_qb, sl_qe, sl_x0h, sl_x0l, sl_x1h, sl_x1l,
+                sl_s, jnp.minimum(new_cnt, ALL_CAP), ovf)
+
+    zS = jnp.zeros((B, ALL_CAP + 1), jnp.int32)
+    c0 = (jnp.zeros((B,), jnp.int32), zS, zS, zS, zS, zS, zS, zS,
+          jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool))
+    (x, sl_qb, sl_qe, sl_x0h, sl_x0l, sl_x1h, sl_x1l, sl_s, cnt,
+     ovf) = jax.lax.while_loop(cond, body, c0)
+    A = ALL_CAP
+    return jnp.concatenate(
+        [cnt[:, None], ovf.astype(jnp.int32)[:, None], sl_qb[:, :A],
+         sl_qe[:, :A], sl_x0h[:, :A], sl_x0l[:, :A], sl_x1h[:, :A],
+         sl_x1l[:, :A], sl_s[:, :A]], axis=1)
+
+
 # ---------------------------------------------------------------------
 # wide SA kernel (shard_map body) — twin of smem_jax._sa_kernel
 # ---------------------------------------------------------------------
@@ -533,7 +599,7 @@ def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
     from jax.sharding import PartitionSpec as P
 
     from bwamem_tpu.index.smem_batch import M_CAP, P_CAP
-    from bwamem_tpu.ops.smem_jax import collect_seeds_device
+    from bwamem_tpu.ops.smem_jax import ALL_CAP, collect_seeds_device
 
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
@@ -583,6 +649,31 @@ def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
         return (ret.astype(np.int64).copy(), ovf, m_qb, m_qe, m_x0,
                 m_x1, m_s.astype(np.int64), m_n)
 
+    # fused first round: the whole frontier while_loop in ONE dispatch
+    # (the tunnel-RTT economics of _smem_all_kernel, sharded + wide)
+    def all_body(occ_loc, pk_loc, va_loc, q, qlen, msl):
+        blk0 = jax.lax.axis_index(axis) * nb_loc
+
+        def rank_fn(ih, il):
+            return jax.lax.psum(
+                _rank4_partial(occ_loc, pk_loc, va_loc, blk0, ih, il,
+                               jnp), axis)
+
+        return _smem_all_wide(rank_fn, C_h, C_l, C_d4, tabs.prim_h,
+                              tabs.prim_l, P_CAP, M_CAP, ALL_CAP,
+                              q, qlen, msl[0], jnp, jax)
+
+    all_sh = jax.jit(jax.shard_map(
+        all_body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(None), P(None), P(None)),
+        out_specs=P(None), check_vma=False))
+
+    def all_fn(q, qlen, msl):
+        msl1 = jnp.full((1,), msl, jnp.int32)
+        return np.asarray(all_sh(occ_d, pk_d, va_d, q, qlen, msl1))
+
+    all_fn.wide = True
+
     def sa_body(occ_loc, pk_loc, va_loc, sh_loc, sl_loc, rh, rl):
         k = jax.lax.axis_index(axis)
         blk0 = k * nb_loc
@@ -628,6 +719,6 @@ def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
         return collect_seeds_device(
             None, fm, reads, opt.min_seed_len, split_len,
             opt.split_width, opt.max_occ, sa_fn=sa_fn,
-            smem1_fn=smem1_fn)
+            smem1_fn=smem1_fn, all_fn=all_fn)
 
     return seed_fn
