@@ -206,7 +206,8 @@ def _acceptable_number_strings():
                 break
             except ValueError:
                 continue
-    for pat in ("bench_out_r*/*.err", "bench_out_r*/*.log"):
+    for pat in ("bench_out_r*/*.err", "bench_out_r*/*.log",
+                "bench_out_r*/*.out"):
         for p in glob.glob(os.path.join(REPO, pat)):
             with open(p, errors="replace") as f:
                 for ln in f:
