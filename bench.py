@@ -103,20 +103,31 @@ def main():
           file=sys.stderr)
 
     # --- timed kernel: early_exit off so counted cells == executed ---
-    fn = jax.jit(
-        lambda *a: extend_pallas.extend_batch_raw_t(
-            *a, params, blk_l=BLK, early_exit=False))
-    np.asarray(fn(*args))  # compile + hard sync
     # NB: block_until_ready can return before execution completes when
     # the device sits behind the axon relay; np.asarray (a real D2H
-    # fetch of the last output) is the only trustworthy fence, so the
-    # timed window ends on one — the ~15 ms fetch amortizes over
-    # n_iter and errs on the honest side.
-    n_iter = 30  # one real D2H fence per window; more iters amortize
-    # its ~15 ms tunnel cost so the number approaches the kernel rate
+    # fetch) is the only trustworthy fence, so the timed window ends on
+    # one.  Round 5: the n_iter kernel runs are CHAINED INSIDE ONE
+    # dispatch (lax.fori_loop with a loop-carried, runtime-zero,
+    # compiler-opaque dependency folded into a scalar input, so XLA
+    # cannot CSE/hoist the identical calls) — the host loop of 30
+    # separate dispatches measured up to 13% slow on days the relay's
+    # enqueue latency spiked, charging tunnel noise to the kernel.
+    n_iter = 30
+    jq, jt, js, jtm = args
+
+    def chained(q, t, s, tm):
+        def body(_i, c):
+            dep = (jnp.abs(c) >> 30).astype(s.dtype)  # always 0
+            out = extend_pallas.extend_batch_raw_t(
+                q, t, s.at[2, 0].add(dep), tm, params, blk_l=BLK,
+                early_exit=False)
+            return out[0, 0].astype(jnp.int32)
+        return jax.lax.fori_loop(0, n_iter, body, jnp.int32(0))
+
+    fn = jax.jit(chained)
+    np.asarray(fn(jq, jt, js, jtm))  # compile + hard sync
     t0 = time.time()
-    for _ in range(n_iter):
-        out = fn(*args)
+    out = fn(jq, jt, js, jtm)
     np.asarray(out)
     dt = (time.time() - t0) / n_iter
 
