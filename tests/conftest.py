@@ -20,9 +20,16 @@ if "xla_force_host_platform_device_count" not in flags:
 # jit in any test — or any CLI subprocess a test spawns — hangs
 # forever.  Tests are CPU-only by design, so compile locally and stay
 # hermetic against relay outages (subprocesses inherit the cleared
-# env).
-os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# env).  BWAMEM_DEVICE_TESTS=1 keeps the vars so the on-hardware
+# gates (tests/test_mosaic_tpu.py subprocesses) can reach the TPU:
+#   BWAMEM_DEVICE_TESTS=1 pytest tests/test_mosaic_tpu.py
+# — everything else still pins itself to CPU via jax.config below, so
+# only tests that spawn their own un-pinned subprocesses see the chip.
+# Never set it for the full suite while a device run is in flight (the
+# TPU is single-tenant).
+if not os.environ.get("BWAMEM_DEVICE_TESTS"):
+    os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax
 

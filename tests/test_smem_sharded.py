@@ -107,3 +107,49 @@ def test_table_sharded_seeder_8dev_cpu_mesh():
                        capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, r.stdout + "\n" + r.stderr
     assert "ALL OK" in r.stdout
+
+
+def test_wide_arithmetic_boundaries():
+    """Host-side checks of the (hi, lo) int32 pair algebra at carry
+    boundaries — pure numpy, no mesh needed.  Every device expression
+    in ops/smem_sharded.py reduces to these primitives."""
+    import numpy as np
+
+    from bwamem_tpu.ops.smem_sharded import (
+        HALF, join64, split64, wadd, waddw, weq, wle, wlt)
+
+    rng = np.random.default_rng(77)
+    vals = np.concatenate([
+        np.array([0, 1, HALF - 1, HALF, HALF + 1, 2 * HALF - 1,
+                  (1 << 35) + 123, (1 << 36) - 1], np.int64),
+        rng.integers(0, 1 << 36, 64),
+    ])
+    deltas = np.concatenate([
+        np.array([0, 1, -1, HALF - 1, -(HALF - 1), (1 << 31) - 1,
+                  -(1 << 31) + 1], np.int64),
+        rng.integers(-(1 << 31) + 1, 1 << 31, 64),
+    ]).astype(np.int64)
+    h, l = split64(vals)
+    assert np.array_equal(join64(h, l), vals)
+    assert l.min() >= 0 and l.max() < HALF
+    # wadd: any int32 delta, result exact where it stays nonnegative
+    for d in deltas:
+        keep = vals + d >= 0
+        rh, rl = wadd(h, l, np.int64(d))
+        got = join64(rh, rl)[keep]
+        assert np.array_equal(got, (vals + d)[keep]), d
+        assert rl[keep].min(initial=0) >= 0
+        assert rl[keep].max(initial=0) < HALF
+    # waddw: pairwise sums of in-range pairs
+    h2, l2 = split64(vals[::-1].copy())
+    sh, sl = waddw(h, l, h2, l2)
+    assert np.array_equal(join64(sh, sl), vals + vals[::-1])
+    # comparisons agree with int64 semantics
+    a = rng.integers(0, 1 << 36, 256)
+    b = rng.integers(0, 1 << 36, 256)
+    b[:64] = a[:64]  # force equality cases
+    ah, al = split64(a)
+    bh, bl = split64(b)
+    assert np.array_equal(wlt(ah, al, bh, bl), a < b)
+    assert np.array_equal(wle(ah, al, bh, bl), a <= b)
+    assert np.array_equal(weq(ah, al, bh, bl), a == b)
