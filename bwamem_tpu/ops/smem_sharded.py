@@ -23,7 +23,11 @@ is bit-identical everywhere after each psum, so the whole
 `bwt_smem1`/`bwt_sa` control flow needs no further communication.
 This trades replicated (cheap) control-flow FLOPs for N×-smaller
 per-chip table memory — the table memory is what does not fit at
-GRCh38 scale (19 GB packed occ + SA per chip if replicated).
+GRCh38 scale (19 GB packed occ + SA per chip if replicated).  The
+whole first-round SMEM collection runs FUSED in one dispatch
+(_smem_all_wide, twin of smem_jax._smem_all_kernel) with one packed
+D2H fetch per chunk; per-round dispatches remain only for the rare
+split re-seed rounds.
 
 Wide coordinates
 ----------------
