@@ -22,8 +22,10 @@ SMEM/SA state machines then run replicated on every shard — the state
 is bit-identical everywhere after each psum, so the whole
 `bwt_smem1`/`bwt_sa` control flow needs no further communication.
 This trades replicated (cheap) control-flow FLOPs for N×-smaller
-per-chip table memory — the table memory is what does not fit at
-GRCh38 scale (19 GB packed occ + SA per chip if replicated).  The
+per-chip table memory — at GRCh38 scale the packed occ + split
+sampled-SA tables are ~6.2 GB (plus the ~1.6 GB resident extension
+text), a large bite out of a 16 GB-HBM chip if replicated; an 8-way
+shard cuts the tables to <1 GB/chip.  The
 whole first-round SMEM collection runs FUSED in one dispatch
 (_smem_all_wide, twin of smem_jax._smem_all_kernel) with one packed
 D2H fetch per chunk; per-round dispatches remain only for the rare
