@@ -30,7 +30,9 @@ def main():
     # load_idx validates version + readability, not just existence —
     # a truncated npz from a killed build triggers a rebuild here
     # instead of crashing a timed ladder row later
-    if cachefmt.load_idx(n_bp) is not None:
+    z = cachefmt.load_idx(n_bp)
+    if z is not None:
+        z.close()   # a pure validity probe — release the handle
         print(f"[cache] already exists and loads: "
               f"{cachefmt.idx_path(n_bp)}", file=sys.stderr)
         return 0

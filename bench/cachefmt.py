@@ -37,13 +37,17 @@ def _load_checked(path: str, want_fmt: int, fields) -> "np.lib.npyio.NpzFile | N
     """Load an npz cache; None if absent, wrong version, or unreadable."""
     if not os.path.exists(path):
         return None
+    z = None
     try:
         z = np.load(path, allow_pickle=False)
         got_fmt = int(z["fmt"]) if "fmt" in z.files else 1
         if got_fmt != want_fmt or any(f not in z.files for f in fields):
+            z.close()                 # don't leak the zip handle
             return None
         return z
     except Exception:
+        if z is not None:
+            z.close()
         return None
 
 

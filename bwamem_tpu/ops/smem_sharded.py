@@ -114,6 +114,18 @@ def weq(ah, al, bh, bl):
     return (ah == bh) & (al == bl)
 
 
+def wide_n_before(rh, rl, rk4, before_primary, xp):
+    """n_before = r - sum_k rk4[..., k] - before_primary in WIDE
+    arithmetic.  Each per-symbol count is < 2^31 (pack_occ enforces),
+    but their SUM approaches r itself — at GRCh38 scale that overflows
+    an int32 reduction (jnp.sum stays int32 and wraps, unlike the
+    numpy host twin which upcasts) — so subtract component-wise."""
+    nbh, nbl = rh, rl
+    for k in range(4):
+        nbh, nbl = wadd(nbh, nbl, -rk4[..., k])
+    return wadd(nbh, nbl, -before_primary)
+
+
 # ---------------------------------------------------------------------
 # host-side sharded table container
 # ---------------------------------------------------------------------
@@ -523,9 +535,11 @@ def _sa_wide(rank_fn, sym_fn, ssa_fn, C_h, C_l, ph, pl, n_rows, sa_intv,
         sym, vbit = sym_fn(rh, rl)
         rk4 = rank_fn(rh, rl)
         rankc = jnp.take_along_axis(rk4, sym[..., None], axis=-1)[..., 0]
-        # n_before = r - sum(rk4) - (primary < r)   (wide - int32)
-        adj = rk4.sum(axis=-1) + wlt(ph, pl, rh, rl).astype(jnp.int32)
-        nbh, nbl = wadd(rh, rl, -adj)
+        # n_before = r - sum(rk4) - (primary < r), component-wise wide
+        # subtraction — an int32 SUM of the four counts wraps at
+        # GRCh38 scale (code-review round 5 finding #1)
+        nbh, nbl = wide_n_before(
+            rh, rl, rk4, wlt(ph, pl, rh, rl).astype(jnp.int32), jnp)
         # newr = C[sym] + rankc (valid) | C[4] + n_before (ambiguous)
         ah, al = wadd(C_h[jnp.minimum(sym, 3)],
                       C_l[jnp.minimum(sym, 3)], rankc)
@@ -616,6 +630,13 @@ def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
     nb_loc, ns_loc = tabs.nb_loc, tabs.ns_loc
     occ_d, pk_d, va_d, ssa_h_d, ssa_l_d = _put_sharded(
         mesh, axis, tabs.occ, tabs.pk, tabs.va, tabs.ssa_h, tabs.ssa_l)
+    # the closures below need only the scalars; drop the padded HOST
+    # copies (≈6 GB at GRCh38 scale) now that the device holds them —
+    # keeping them alive alongside po/fm would double host memory
+    prim_h, prim_l = tabs.prim_h, tabs.prim_l
+    n_rows_t, sa_intv_t = tabs.n_rows, tabs.sa_intv
+    del tabs.occ, tabs.pk, tabs.va, tabs.ssa_h, tabs.ssa_l
+    del tabs
 
     def smem_body(occ_loc, pk_loc, va_loc, q, qlen, x, mi):
         blk0 = jax.lax.axis_index(axis) * nb_loc
@@ -625,8 +646,8 @@ def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
                 _rank4_partial(occ_loc, pk_loc, va_loc, blk0, ih, il,
                                jnp), axis)
 
-        out = _smem1_wide(rank_fn, C_h, C_l, C_d4, tabs.prim_h,
-                          tabs.prim_l, P_CAP, M_CAP, q, qlen, x, mi,
+        out = _smem1_wide(rank_fn, C_h, C_l, C_d4, prim_h,
+                          prim_l, P_CAP, M_CAP, q, qlen, x, mi,
                           jnp, jax)
         (ret, ovf, m_qb, m_qe, m_x0h, m_x0l, m_x1h, m_x1l, m_s,
          m_n) = out
@@ -665,8 +686,8 @@ def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
                 _rank4_partial(occ_loc, pk_loc, va_loc, blk0, ih, il,
                                jnp), axis)
 
-        return _smem_all_wide(rank_fn, C_h, C_l, C_d4, tabs.prim_h,
-                              tabs.prim_l, P_CAP, M_CAP, ALL_CAP,
+        return _smem_all_wide(rank_fn, C_h, C_l, C_d4, prim_h,
+                              prim_l, P_CAP, M_CAP, ALL_CAP,
                               q, qlen, msl[0], jnp, jax)
 
     all_sh = jax.jit(jax.shard_map(
@@ -701,8 +722,8 @@ def make_table_sharded_seeder(mesh, po: PackedOcc, fm, opt):
             return hl[..., 0], hl[..., 1]
 
         vh, vl = _sa_wide(rank_fn, sym_fn, ssa_fn, C_h, C_l,
-                          tabs.prim_h, tabs.prim_l, tabs.n_rows,
-                          tabs.sa_intv, rh, rl, jnp, jax)
+                          prim_h, prim_l, n_rows_t,
+                          sa_intv_t, rh, rl, jnp, jax)
         return jnp.stack([vh, vl], axis=0)
 
     sa_sh = jax.jit(jax.shard_map(

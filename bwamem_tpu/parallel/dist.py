@@ -438,6 +438,12 @@ def make_sharded_device_seeder(mesh: Mesh, po, fm, opt,
         from bwamem_tpu.ops.smem_sharded import make_table_sharded_seeder
 
         return make_table_sharded_seeder(mesh, po, fm, opt)
+    if int(po.n_rows) >= 1 << 31:
+        # an explicitly FORCED reads-sharded regime on a too-big index
+        # must fail loudly, never truncate int32 coordinates silently
+        raise ValueError(
+            "reads-sharded device seeding requires n_rows < 2^31; "
+            "use table_sharded=True (the default at this scale)")
     d = DeviceOcc(po)
 
     smem_body = functools.partial(

@@ -88,8 +88,22 @@ def test_docs_quote_results():
                 f"'{ent['quote']}' for {key} — reconcile the doc")
 
 
+def _round_key(path: str):
+    """Sort bench artifacts by ROUND NUMBER, not lexicographically —
+    'bench_out_r10' sorts before 'bench_out_r4' as a string (and
+    'BENCH_r10.json' after 'BENCH_r04.json' only by luck of zero
+    padding).  Ties (r4 vs r4b) break on the path string."""
+    import re
+
+    m = re.search(r"_r(\d+)", os.path.basename(os.path.dirname(path))
+                  or os.path.basename(path)) or re.search(r"_r(\d+)",
+                                                          path)
+    return (int(m.group(1)) if m else -1, path)
+
+
 def _newest(pattern: str):
-    paths = sorted(glob.glob(os.path.join(REPO, pattern)))
+    paths = sorted(glob.glob(os.path.join(REPO, pattern)),
+                   key=_round_key)
     return paths[-1] if paths else None
 
 
@@ -102,7 +116,8 @@ def test_newest_ladder_rows_are_curated():
     must be curated in RESULTS.json with a matching value.  Checking only
     the newest *file* would let a subset re-run (e.g. one row in a fresh
     bench_out_rN/) shadow every previously captured stable row."""
-    paths = sorted(glob.glob(os.path.join(REPO, "bench_out_r*/ladder.json")))
+    paths = sorted(glob.glob(os.path.join(REPO, "bench_out_r*/ladder.json")),
+                   key=_round_key)
     assert paths, "no ladder.json captured"
     newest_stable = {}  # row -> (path, rec); later paths overwrite
     for path in paths:
@@ -133,7 +148,7 @@ def test_newest_ladder_rows_are_curated():
 
 
 def test_newest_bench_json_agrees_with_quoted_gcups():
-    path = _newest("BENCH_r0*.json")
+    path = _newest("BENCH_r*.json")
     if path is None:
         pytest.skip("no BENCH_rNN.json yet")
     with open(path) as f:

@@ -93,6 +93,20 @@ except ValueError:
     pass
 else:
     raise AssertionError("expected ValueError for sa_intv=24")
+
+# 6) FORCING the reads-sharded regime on a >=2^31 index fails loudly
+#    (the removed construction-time ValueError, re-established after
+#    the round-5 code review) — int32 coordinates must never truncate
+import dataclasses
+big_po = dataclasses.replace(po, n_rows=(1 << 31) + 7)
+try:
+    make_sharded_device_seeder(mesh, big_po, fm, opt,
+                               table_sharded=False)
+except ValueError as e:
+    assert "2^31" in str(e), e
+else:
+    raise AssertionError("expected ValueError forcing reads-sharded "
+                         "on a >=2^31 index")
 print("ALL OK")
 """
 
@@ -153,3 +167,36 @@ def test_wide_arithmetic_boundaries():
     assert np.array_equal(wlt(ah, al, bh, bl), a < b)
     assert np.array_equal(wle(ah, al, bh, bl), a <= b)
     assert np.array_equal(weq(ah, al, bh, bl), a == b)
+
+
+def test_wide_n_before_no_int32_wrap():
+    """Round-5 code-review finding #1: the ambiguous-symbol LF step's
+    n_before must not sum the four rank counts in int32 (jnp.sum stays
+    int32 and wraps once the total approaches the row index — i.e. at
+    any row >= 2^31, exactly the regime this module exists for).  Pin
+    the component-wise wide subtraction against int64 arithmetic at
+    GRCh38-magnitude counts."""
+    import numpy as np
+
+    from bwamem_tpu.ops.smem_sharded import (
+        join64, split64, wide_n_before)
+
+    rng = np.random.default_rng(5)
+    # rows up to 2^36; counts summing to ~r (the real FM invariant)
+    r = rng.integers(1 << 31, 1 << 36, 128)
+    parts = rng.random((128, 4))
+    parts /= parts.sum(axis=1, keepdims=True)
+    rk4 = np.minimum((parts * (r[:, None] - 8)).astype(np.int64),
+                     (1 << 31) - 1).astype(np.int64)
+    # clamp keeps each count < 2^31 (pack_occ's invariant); recompute
+    # a consistent "ambiguous symbol" remainder
+    before_primary = rng.integers(0, 2, 128)
+    want = r - rk4.sum(axis=1) - before_primary
+    rh, rl = split64(r)
+    nh, nl = wide_n_before(rh, rl, rk4.astype(np.int32),
+                           before_primary.astype(np.int32), np)
+    got = join64(nh, nl)
+    assert np.array_equal(got, want)
+    # and the int32-sum formulation really does wrap at these scales
+    # (the bug being pinned): guard that the test is non-trivial
+    assert (rk4.sum(axis=1) >= (1 << 31)).any()
