@@ -100,6 +100,35 @@ def _extend_with_doubling(opt, key, query, target, h0, pen_clip, prev_score,
     return res, aw
 
 
+def _seed_covered(opt: MemOptions, s, regions, l_query: int) -> bool:
+    """bwa mem_chain2aln's contained-seed skip: is seed `s` already
+    covered by an existing region closely enough that re-extending it
+    cannot produce a different alignment?  NOTE the deliberate
+    asymmetry, reproduced from bwa-0.7.8: the left-hand distances are
+    measured from the REGION boundary (p.qb/p.rb) but the right-hand
+    QUERY distance from the END OF THE READ (l_query - qend), not
+    p.qe (PARITY.md §Deviations #9; C++ twin csrc/mempipe.cpp)."""
+    for p in regions:
+        if not (s.rbeg >= p.rb and s.rend <= p.re
+                and s.qbeg >= p.qb and s.qend <= p.qe):
+            continue
+        if s.len - p.seedlen0 > 0.1 * l_query:
+            continue  # the seed might give a better alignment
+        # bwa clamps the window with the region's ACTUAL band p->w
+        # (2*opt.w after band doubling), not opt.w
+        qd, rd = s.qbeg - p.qb, s.rbeg - p.rb
+        mg = cal_max_gap(opt, min(qd, rd))
+        ww = min(mg, p.w)
+        if qd - rd < ww and rd - qd < ww:
+            return True
+        qd, rd = l_query - s.qend, p.re - s.rend
+        mg = cal_max_gap(opt, min(qd, rd))
+        ww = min(mg, p.w)
+        if qd - rd < ww and rd - qd < ww:
+            return True
+    return False
+
+
 def chain2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
               chain: Chain, regions: list[Region],
               extend_fn=default_extend_fn, chain_index: int = 0) -> None:
@@ -136,29 +165,7 @@ def chain2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
     order = sorted(range(len(seeds)), key=lambda i: (seeds[i].len, i))
     for k in reversed(order):
         s = seeds[k]
-        # has this seed been covered by an existing region already?
-        skip = False
-        for p in regions:
-            if not (s.rbeg >= p.rb and s.rend <= p.re
-                    and s.qbeg >= p.qb and s.qend <= p.qe):
-                continue
-            if s.len - p.seedlen0 > 0.1 * l_query:
-                continue  # the seed might give a better alignment
-            # bwa clamps the window with the region's ACTUAL band p->w
-            # (2*opt.w after band doubling), not opt.w
-            qd, rd = s.qbeg - p.qb, s.rbeg - p.rb
-            mg = cal_max_gap(opt, min(qd, rd))
-            ww = min(mg, p.w)
-            if qd - rd < ww and rd - qd < ww:
-                skip = True
-                break
-            qd, rd = l_query - s.qend, p.re - s.rend
-            mg = cal_max_gap(opt, min(qd, rd))
-            ww = min(mg, p.w)
-            if qd - rd < ww and rd - qd < ww:
-                skip = True
-                break
-        if skip:
+        if _seed_covered(opt, s, regions, l_query):
             continue
 
         a = Region(w=opt.w, seedlen0=s.len)
@@ -416,11 +423,13 @@ def reg2aln(opt: MemOptions, ref: Reference, read: np.ndarray,
     a.is_rev = is_rev
     if is_rev:
         a.flag |= 0x10
-    # squeeze out leading/trailing deletions
+    # squeeze out a leading OR trailing deletion — bwa-0.7.8's
+    # mem_reg2aln uses an else-if, so a (band-forced, rare) CIGAR of
+    # the form [D, ..., D] keeps its trailing D (PARITY.md §Deviations)
     if cigar and cigar[0][0] == D_OP:
         pos2 += cigar[0][1]
         cigar = cigar[1:]
-    if cigar and cigar[-1][0] == D_OP:
+    elif cigar and cigar[-1][0] == D_OP:
         cigar = cigar[:-1]
     # soft clips
     if qb != 0 or qe != l_query:

@@ -283,6 +283,8 @@ def align_pairs(opt: MemOptions, ref: Reference, fm, reads1, reads2,
     from bwamem_tpu.pipeline import align as A
 
     n = len(reads1)
+    if n == 0:
+        return []   # a final empty chunk must not index all_chains[0]
     names = names or [f"pair{i}" for i in range(n)]
     quals1 = quals1 or [None] * n
     quals2 = quals2 or [None] * n

@@ -783,11 +783,14 @@ RecordC reg2aln(const MemPipe& mp, int64_t ri, const RegionC& ar,
     a.is_rev = true;
   }
   if (a.is_rev) a.flag |= 0x10;
+  // leading OR trailing deletion (bwa mem_reg2aln's else-if: a rare
+  // band-forced [D, ..., D] keeps its trailing D)
   if (!cigar.empty() && cigar.front().first == 2) {
     pos2 += cigar.front().second;
     cigar.erase(cigar.begin());
+  } else if (!cigar.empty() && cigar.back().first == 2) {
+    cigar.pop_back();
   }
-  if (!cigar.empty() && cigar.back().first == 2) cigar.pop_back();
   if (qb != 0 || qe != l_query) {
     int64_t clip5 = a.is_rev ? l_query - qe : qb;
     int64_t clip3 = a.is_rev ? qb : l_query - qe;

@@ -125,3 +125,94 @@ class TestMemPair:
         score, sub, n_sub, n_raw, z = mem_pair(
             OPT, l_pac, [PEStat()] * 4, ([], []))
         assert (score, sub, n_sub, z) == (0, 0, 0, None)
+
+
+class TestContainedSeedRightGap:
+    def test_contained_seed_right_gap_uses_read_end(self):
+        """PARITY.md §Deviations #9: the right-hand query distance of
+        the contained-seed skip measures to the END OF THE READ
+        (bwa-0.7.8's own asymmetry), not to the covering region's qe."""
+        from bwamem_tpu.pipeline.align import _seed_covered
+        from bwamem_tpu.pipeline.chain import Seed
+
+        opt = MemOptions()
+        # region covering [0, 80) on the query with a soft-clipped tail
+        p = Region(qb=0, qe=80, rb=100, re=180, w=opt.w, seedlen0=20)
+        # contained seed near the region's right edge; left-hand
+        # distances differ by 50 so the left test never skips
+        s = Seed(rbeg=110, qbeg=60, len=18)   # qend=78, rend=128
+        assert s.qend <= p.qe and s.rend <= p.re
+        # read longer than the region: l_query - qend = 72 vs
+        # p.re - rend = 52 -> |qd - rd| = 20 >= w? with w=100 both
+        # formulas skip; shrink the band via p.w to separate them
+        p.w = 10
+        assert _seed_covered(opt, s, [p], l_query=150) is False, (
+            "read-end formula: 72 - 52 = 20 >= w=10 -> NOT covered")
+        # a seed at BOTH right edges (qend ~ qe, rend ~ re) whose left
+        # distances differ by exactly w (no left skip): the right test
+        # alone decides, and it reads the distance off the READ end
+        p2 = Region(qb=0, qe=80, rb=90, re=180, w=10, seedlen0=20)
+        s2 = Seed(rbeg=160, qbeg=60, len=18)  # qend=78, rend=178
+        # left: qd=60, rd=70 -> rd-qd = 10, not < w=10 -> no left skip
+        assert _seed_covered(opt, s2, [p2], l_query=80) is True, (
+            "read ends at the region: qd=2, rd=2 -> covered")
+        assert _seed_covered(opt, s2, [p2], l_query=150) is False, (
+            "same seed, longer read: qd=72, rd=2 -> the read-end "
+            "formula refuses the skip (a p.qe formula would skip)")
+
+
+class TestRescueThresholdAndSqueeze:
+    def test_matesw_threshold_scales_with_a(self, monkeypatch):
+        """PARITY.md §Deviations #7: the rescue acceptance threshold
+        is min_seed_len * a (frozen scaled form)."""
+        import bwamem_tpu.ops.local_ref as lr
+        from bwamem_tpu.io.fasta import Contig, Reference
+        from bwamem_tpu.pipeline.pair import PEStat, mem_matesw
+
+        rng = np.random.default_rng(0)
+        pac = rng.integers(0, 4, 200).astype(np.uint8)
+        ref = Reference(contigs=[Contig("c", 0, 200)], pac=pac)
+        opt = MemOptions(a=2)
+        pes = [PEStat(low=1, high=40, avg=20.0, std=5.0, failed=False)
+               for _ in range(4)]
+        anchor = Region(rb=50, re=80, qb=0, qe=30, score=60)
+        mate = pac[90:120].astype(np.int64)
+
+        def fake_align(score):
+            def f(seq, rseq, mat, od, ed, oi, ei):
+                return (score, 0, len(seq), 0, len(seq), 0)
+            return f
+
+        # 30 < 19*2: rejected under the frozen scaled threshold
+        # (an unscaled bwa reading would accept it, 30 >= 19)
+        monkeypatch.setattr(lr, "ksw_align", fake_align(30))
+        regs: list[Region] = []
+        n = mem_matesw(opt, ref, pes, anchor, mate, regs)
+        assert n == 0 and regs == []
+        # 40 >= 38: accepted
+        monkeypatch.setattr(lr, "ksw_align", fake_align(40))
+        regs = []
+        n = mem_matesw(opt, ref, pes, anchor, mate, regs)
+        assert n >= 1 and len(regs) >= 1
+
+    def test_reg2aln_deletion_squeeze_else_if(self):
+        """PARITY.md §Deviations #8: a leading OR a trailing deletion
+        is squeezed, never both (bwa mem_reg2aln's else-if)."""
+        from bwamem_tpu.io.fasta import Contig, Reference
+        from bwamem_tpu.pipeline.align import reg2aln
+        from bwamem_tpu.pipeline.cigar import D_OP, M_OP
+
+        rng = np.random.default_rng(1)
+        pac = rng.integers(0, 4, 60).astype(np.uint8)
+        ref = Reference(contigs=[Contig("c", 0, 60)], pac=pac)
+        opt = MemOptions()
+        read = pac[10:15].astype(np.int64)
+        ar = Region(qb=0, qe=5, rb=9, re=16, score=10, truesc=10,
+                    w=opt.w, secondary=-1)
+        # a band-forced [1D, 5M, 1D] global result
+        aln = reg2aln(opt, ref, read, ar,
+                      global_result=(6, [(D_OP, 1), (M_OP, 5),
+                                         (D_OP, 1)]))
+        # the leading D is absorbed into pos; the trailing D SURVIVES
+        assert aln.cigar[0][0] == M_OP
+        assert aln.cigar[-1] == (D_OP, 1), aln.cigar
