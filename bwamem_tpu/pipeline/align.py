@@ -463,7 +463,7 @@ def revcomp_read(read: np.ndarray) -> np.ndarray:
 
 
 def aln2sam(opt: MemOptions, ref: Reference, name: str, read: np.ndarray,
-            qual: str | None, a: Alignment, primary: Alignment | None,
+            qual: str | None, a: Alignment,
             mate: Alignment | None = None, which: int = 0) -> SamRecord:
     """mem_aln2sam.  `mate` set => paired output (flags 0x1/0x40/0x80,
     RNEXT/PNEXT/TLEN); `which` is 0 for read1, 1 for read2."""
@@ -578,8 +578,8 @@ def align_read(opt: MemOptions, ref: Reference, fm, name: str,
         is_sec.append(p.secondary >= 0)
     if not alns:
         return [aln2sam(opt, ref, name, read, qual,
-                        Alignment(flag=0x4), None)]
-    recs = [aln2sam(opt, ref, name, read, qual, a, alns[0]) for a in alns]
+                        Alignment(flag=0x4))]
+    recs = [aln2sam(opt, ref, name, read, qual, a) for a in alns]
     # SA:Z (bwa mem_aln2sam, 0.7.6+): every non-secondary record of a
     # split read lists the OTHER non-secondary hits, cigars in
     # soft-clip form

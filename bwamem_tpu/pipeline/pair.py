@@ -199,9 +199,9 @@ def sam_pe(opt: MemOptions, ref: Reference, pes: list[PEStat], name: str,
             aln.flag |= extra_flag
             h.append(aln)
         recs = [
-            A.aln2sam(opt, ref, name, reads[0], quals[0], h[0], h[0],
+            A.aln2sam(opt, ref, name, reads[0], quals[0], h[0],
                       mate=h[1], which=0),
-            A.aln2sam(opt, ref, name, reads[1], quals[1], h[1], h[1],
+            A.aln2sam(opt, ref, name, reads[1], quals[1], h[1],
                       mate=h[0], which=1),
         ]
         if opt.flag_a:
@@ -215,7 +215,7 @@ def sam_pe(opt: MemOptions, ref: Reference, pes: list[PEStat], name: str,
                     q.sub = -1
                     q.flag |= 0x100
                     recs.append(A.aln2sam(opt, ref, name, reads[i],
-                                          quals[i], q, h[i],
+                                          quals[i], q,
                                           mate=h[1 - i], which=i))
         return recs
 
