@@ -89,6 +89,22 @@ def pack_occ(fm: FMIndex) -> PackedOcc:
     )
 
 
+def _wide_int(xp):
+    """Widest integer dtype the backend actually provides.
+
+    numpy: int64.  jax.numpy: whatever int64 canonicalizes to (int32
+    unless jax_enable_x64 is set) — requesting np.int64 on a jax array
+    emits a per-call truncation warning; the device paths that pass
+    xp=jnp are range-guarded below 2^31 (parallel/dist.py routes larger
+    texts to the two-word sharded seeder, ops/smem_sharded.py), so the
+    narrower dtype is intended there, not an accident.
+    """
+    if xp is np:
+        return np.int64
+    from jax import dtypes
+    return dtypes.canonicalize_dtype(np.int64)
+
+
 def _popcount32(x):
     """Branch-free SWAR popcount; works for numpy and jax arrays."""
     x = x - ((x >> 1) & 0x55555555)
@@ -144,7 +160,8 @@ def extend_backward4(po: PackedOcc, x0, x1, s, xp=np):
     tk = rank4(po, x0, xp)                    # (..., 4)
     tl = rank4(po, x0 + s, xp)
     ns = tl - tk
-    C4 = xp.asarray(po.C[:4].astype(np.int64))
+    wi = _wide_int(xp)
+    C4 = xp.asarray(po.C)[:4].astype(wi)
     nx0 = C4 + tk
     has_sent = ((x0 <= po.primary) & (po.primary < x0 + s)).astype(ns.dtype)
     nx1_3 = xp.asarray(x1) + has_sent
@@ -152,7 +169,7 @@ def extend_backward4(po: PackedOcc, x0, x1, s, xp=np):
     nx1_1 = nx1_2 + ns[..., 2]
     nx1_0 = nx1_1 + ns[..., 1]
     nx1 = xp.stack([nx1_0, nx1_1, nx1_2, nx1_3], axis=-1)
-    return nx0.astype(np.int64), nx1.astype(np.int64), ns.astype(np.int64)
+    return nx0.astype(wi), nx1.astype(wi), ns.astype(wi)
 
 
 def extend_forward4(po: PackedOcc, x0, x1, s, xp=np):
@@ -171,7 +188,7 @@ def sa_value_batch(po: PackedOcc, ssa: np.ndarray, sa_intv: int,
                    rows: np.ndarray, xp=np) -> np.ndarray:
     """Batched bwt_sa: text positions for a batch of SA rows via masked
     lockstep LF-walks (each <= sa_intv steps)."""
-    r = xp.asarray(rows).astype(np.int64).copy()
+    r = xp.asarray(rows).astype(_wide_int(xp)).copy()
     d = np.zeros_like(r)
     val = np.zeros_like(r)
     done = np.zeros(r.shape, bool)
@@ -195,10 +212,10 @@ def sa_value_batch(po: PackedOcc, ssa: np.ndarray, sa_intv: int,
         sym = (w >> (2 * lane)) & 3
         vbit = (xp.asarray(po.va_rows)[blk, off // WORD_SYMS]
                 >> (2 * lane)) & 1
-        c = xp.where(vbit == 1, sym.astype(np.int64), 4)
+        c = xp.where(vbit == 1, sym.astype(_wide_int(xp)), 4)
         rk4 = rank4(po, r, xp)
         rankc = xp.take_along_axis(
-            rk4, xp.minimum(c, 3)[..., None].astype(np.int64),
+            rk4, xp.minimum(c, 3)[..., None].astype(_wide_int(xp)),
             axis=-1)[..., 0]
         n_before = r - rk4.sum(axis=-1) - (po.primary < r)
         rankc = xp.where(c == 4, n_before, rankc)
