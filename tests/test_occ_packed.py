@@ -109,6 +109,43 @@ def test_device_rank_and_extend_match_numpy(world):
     np.testing.assert_array_equal(np.asarray(ns), ws)
 
 
+def test_device_path_no_dtype_truncation_warnings(world):
+    """The xp=jnp paths must not request unavailable dtypes: an
+    astype(np.int64) on a jax array canonicalizes to int32 with a
+    per-call UserWarning — the narrowing is intended (device seeding is
+    range-guarded < 2^31; wider texts route to the two-word sharded
+    seeder), so the code must say so via _wide_int rather than warn."""
+    import dataclasses
+    import warnings
+
+    import jax.numpy as jnp
+
+    from bwamem_tpu.index.occ_packed import sa_value_batch
+
+    fm, po = world
+    po_d = dataclasses.replace(
+        po, occ_rows=jnp.asarray(po.occ_rows),
+        pk_rows=jnp.asarray(po.pk_rows), va_rows=jnp.asarray(po.va_rows),
+        C=jnp.asarray(po.C))
+    rng = np.random.default_rng(4)
+    x0 = rng.integers(0, fm.seq_len2 - 5, 16).astype(np.int64)
+    s = rng.integers(1, 5, 16).astype(np.int64)
+    rows = rng.integers(0, fm.seq_len2 + 1, 32).astype(np.int64)
+    ssa32 = np.asarray(fm.ssa, np.int64).astype(np.int32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        nx0, nx1, ns = extend_backward4(
+            po_d, jnp.asarray(x0), jnp.asarray(x0), jnp.asarray(s), jnp)
+        vals = sa_value_batch(po_d, jnp.asarray(ssa32), fm.sa_intv,
+                              jnp.asarray(rows), jnp)
+    wx0, wx1, ws = extend_backward4(po, x0, x0, s)
+    np.testing.assert_array_equal(np.asarray(nx0), wx0)
+    np.testing.assert_array_equal(np.asarray(nx1), wx1)
+    np.testing.assert_array_equal(np.asarray(ns), ws)
+    np.testing.assert_array_equal(
+        np.asarray(vals), sa_value_batch(po, fm.ssa, fm.sa_intv, rows))
+
+
 def test_cache_roundtrip_bit_identical(world, tmp_path, monkeypatch):
     """The /tmp bench caches (bench/cachefmt.py) must round-trip both the
     FMIndex and PackedOcc with exact dtypes and values — dtype drift on
